@@ -16,23 +16,29 @@ from caitlynrenderer_tpu.core.types import Camera
 
 
 def generate_rays(camera: Camera, width: int, height: int, uniforms):
-    """Generate one primary ray per pixel.
+    """Generate one primary ray per pixel (all H*W pixels in row-major
+    order).  See `generate_rays_for_ids` for the sharded-block variant."""
+    pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    return generate_rays_for_ids(camera, width, height, pixel_ids, uniforms)
 
-    uniforms: (H*W, 4) in [0,1): tent-jitter pair + lens pair.
-    Returns (origins, directions), each (H*W, 3) f32.
+
+def generate_rays_for_ids(camera: Camera, width: int, height: int, pixel_ids, uniforms):
+    """Generate one primary ray per given global pixel id.
+
+    pixel_ids: (N,) i32 — global id = y*width + x; ids may exceed the image
+    (padding lanes) and simply produce throwaway rays.
+    uniforms: (N, >=4) in [0,1): tent-jitter pair + lens pair.
+    Returns (origins, directions), each (N, 3) f32.
 
     Pixel (0,0) is the bottom-left of the image (GL convention, matching the
     reference's gl_FragCoord-based `tex` interpolation); callers that want
     top-left row-0 images flip at resolve time.
     """
-    yy, xx = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32),
-        jnp.arange(width, dtype=jnp.float32),
-        indexing="ij",
-    )
+    xx = (pixel_ids % width).astype(jnp.float32)
+    yy = (pixel_ids // width).astype(jnp.float32)
     # Fragment center in [0,1]² (tex coordinate of the fullscreen quad).
-    u = (xx.reshape(-1) + 0.5) / width
-    v = (yy.reshape(-1) + 0.5) / height
+    u = (xx + 0.5) / width
+    v = (yy + 0.5) / height
 
     r1 = 2.0 * uniforms[:, 0]
     r2 = 2.0 * uniforms[:, 1]

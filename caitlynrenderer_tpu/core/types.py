@@ -167,8 +167,9 @@ class RenderOptions(NamedTuple):
     num_tiles_y: int = 1
     hdr_multiplier: float = 1.0
     use_env_map: bool = False
-    accel: str = "bvh2"  # {"brute", "bvh2", "cwbvh"}
+    accel: str = "bvh2"  # {"brute", "bvh2", "sbvh", "cwbvh"}
     traversal: str = "xla"  # {"xla", "pallas"}
+    max_leaf: int = 4  # BVH leaf width (must match the uploaded build)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)
     exact_reference_nee: bool = False  # reproduce reference NEE estimator
     # (the reference omits the cos/pi factor in its NEE term,

@@ -109,6 +109,31 @@ def occluded_brute(o, d, t_max, verts, tri_v):
     return hit.any(axis=1)
 
 
+def refine_hit(o, d, tri, verts, tri_v):
+    """Differentiably recompute (t, u, v) for a known hit triangle.
+
+    Traversal returns hit ids through non-differentiable control flow
+    (`lax.while_loop` has no reverse rule); the standard detached-traversal
+    estimator recomputes the intersection from the gathered triangle so
+    gradients flow to vertices and ray origins/directions (SURVEY.md §7).
+    tri: (N,) i32 (>= 0 where valid; clamped gather elsewhere).
+    """
+    idx = jnp.maximum(tri, 0)
+    vid = tri_v[idx]
+    v0 = verts[vid[:, 0]]
+    e1 = verts[vid[:, 1]] - v0
+    e2 = verts[vid[:, 2]] - v0
+    pv = jnp.cross(d, e2)
+    det = cm.dot(e1, pv)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    tv = o - v0
+    qv = jnp.cross(tv, e1)
+    u = cm.dot(tv, pv) * inv_det
+    v = cm.dot(d, qv) * inv_det
+    t = cm.dot(e2, qv) * inv_det
+    return t, u, v
+
+
 def slab_test(o, d_inv, bmin, bmax):
     """Slab AABB test (`path_trace.fs:84-109`): returns (t_near, t_far).
 

@@ -1,0 +1,336 @@
+"""Device wavefront path-tracing integrator (jit, differentiable).
+
+The TPU re-design of the reference's per-fragment megakernel
+(`/root/reference/Shader/path_trace.fs:857-1024`): instead of one divergent
+program per pixel, the whole ray batch advances bounce-by-bounce as dense
+SoA arrays — raygen → traverse → shade/NEE → scatter — with masked lanes
+for dead paths.  All stages are jnp on (N, …) arrays; traversal is the
+vectorized stack machine in ops/traverse_xla.py (or the Pallas kernel).
+
+Integrator math matches `cpu_reference/integrator.py` (the oracle) exactly
+— same uniform-number layout, same estimator — which is what the parity
+tests assert.  Differentiability: hit indices come out of traversal as
+integers (no gradient), and all shading quantities (normals, uvt, BSDF
+eval) are recomputed differentiably from the gathered geometry, so
+d(image)/d(vertices, materials, camera, lights) flows through shading —
+the standard detached-traversal estimator (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from caitlynrenderer_tpu.core import math as cm
+from caitlynrenderer_tpu.core.camera import generate_rays
+from caitlynrenderer_tpu.core.types import Camera, MaterialType, RenderOptions
+from caitlynrenderer_tpu.ops import intersect as isect
+from caitlynrenderer_tpu.ops import texture as tex
+from caitlynrenderer_tpu.ops.traverse_xla import traverse_anyhit, traverse_closest
+from caitlynrenderer_tpu.scene import DeviceScene
+
+INF = cm.INF
+EPS = cm.EPS
+RAY_OFFSET = cm.RAY_OFFSET
+
+_GLASS_IDS = (
+    int(MaterialType.GLASS),
+    int(MaterialType.GLASS_COLOR),
+    int(MaterialType.THIN_DIELECTRIC),
+)
+_SPECULAR_IDS = (
+    int(MaterialType.MIRROR),
+    int(MaterialType.GLASS),
+    int(MaterialType.GLASS_COLOR),
+    int(MaterialType.GLASS_NO_REFRACT),
+    int(MaterialType.CONDUCTOR),
+    int(MaterialType.THIN_DIELECTRIC),
+    int(MaterialType.THIN_SHEET),
+)
+
+
+class Hit(NamedTuple):
+    t: jax.Array
+    tri: jax.Array
+    u: jax.Array
+    v: jax.Array
+
+
+def _closest_hit(ds: DeviceScene, o, d, active, options: RenderOptions) -> Hit:
+    """Closest hit with detached traversal + differentiable refinement:
+    the hit *id* comes from non-differentiable traversal, then (t, u, v)
+    are recomputed with `refine_hit` so the shading path carries gradients
+    w.r.t. geometry and rays."""
+    ds_ng, o_ng, d_ng = jax.lax.stop_gradient((ds, o, d))
+    raw = _closest_hit_raw(ds_ng, o_ng, d_ng, active, options)
+    raw = jax.lax.stop_gradient(raw)
+    sc = ds.scene
+    t, u, v = isect.refine_hit(o, d, raw.tri, sc.vertices, sc.tri_v)
+    keep = raw.tri >= 0
+    return Hit(
+        t=jnp.where(keep, t, raw.t),
+        tri=raw.tri,
+        u=jnp.where(keep, u, raw.u),
+        v=jnp.where(keep, v, raw.v),
+    )
+
+
+def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> Hit:
+    sc = ds.scene
+    if options.accel == "brute":
+        t, tri, u, v = isect.intersect_brute(o, d, sc.vertices, sc.tri_v)
+        tri = jnp.where(active, tri, -1)
+        return Hit(t, tri, u, v)
+    if options.accel == "cwbvh":
+        from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_closest
+
+        t, tri, u, v = cwbvh_closest(o, d, active, ds.cw_nodes, sc.vertices, sc.tri_v)
+        return Hit(t, tri, u, v)
+    t, tri, u, v = traverse_closest(
+        o, d, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
+        max_leaf=options.max_leaf,
+    )
+    return Hit(t, tri, u, v)
+
+
+def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
+    """Any-hit visibility — boolean, fully detached (no visibility
+    gradients in v1; documented estimator limitation, SURVEY.md §7)."""
+    ds, o, d, t_max = jax.lax.stop_gradient((ds, o, d, t_max))
+    sc = ds.scene
+    if options.accel == "brute":
+        occ = isect.occluded_brute(o, d, jnp.where(active, t_max, 0.0), sc.vertices, sc.tri_v)
+        return occ & active
+    if options.accel == "cwbvh":
+        from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit
+
+        return cwbvh_anyhit(o, d, t_max, active, ds.cw_nodes, sc.vertices, sc.tri_v)
+    return traverse_anyhit(
+        o, d, t_max, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
+        max_leaf=options.max_leaf,
+    )
+
+
+def _shading_normal(ds: DeviceScene, tri_safe, u, v):
+    """Interpolated vertex normal when flagged, else geometric face normal
+    (`path_trace.fs:440-454`)."""
+    sc = ds.scene
+    vid = sc.tri_v[tri_safe]
+    p0 = sc.vertices[vid[:, 0]]
+    p1 = sc.vertices[vid[:, 1]]
+    p2 = sc.vertices[vid[:, 2]]
+    geo_n = cm.normalize(jnp.cross(p1 - p0, p2 - p0))
+    if sc.normals.shape[0] == 0:
+        return geo_n
+    nid = sc.tri_vn[tri_safe]
+    nid3 = jnp.clip(nid[:, :3], 0, sc.normals.shape[0] - 1)
+    n0 = sc.normals[nid3[:, 0]]
+    n1 = sc.normals[nid3[:, 1]]
+    n2 = sc.normals[nid3[:, 2]]
+    interp = cm.normalize(cm.interpolate(n0, n1, n2, u, v))
+    return jnp.where((nid[:, 3] == 1)[:, None], interp, geo_n)
+
+
+def _albedo(ds: DeviceScene, mtl, tri_safe, u, v):
+    """Material albedo, textured when the material carries an atlas layer
+    (`path_trace.fs:471-486`)."""
+    sc = ds.scene
+    base = sc.materials.albedo[mtl, :3]
+    if sc.textures is None or sc.texcoords.shape[0] == 0:
+        return base
+    layer_f = sc.materials.tex_ind[mtl, 0]
+    tid = sc.tri_vt[tri_safe]
+    tid3 = jnp.clip(tid[:, :3], 0, sc.texcoords.shape[0] - 1)
+    t0 = sc.texcoords[tid3[:, 0]]
+    t1 = sc.texcoords[tid3[:, 1]]
+    t2 = sc.texcoords[tid3[:, 2]]
+    uv = t0 * (1.0 - u - v)[:, None] + t1 * u[:, None] + t2 * v[:, None]
+    sampled = tex.sample_bilinear(sc.textures, layer_f.astype(jnp.int32), uv)
+    return jnp.where((layer_f >= 0)[:, None], sampled, base)
+
+
+def _power_heuristic(a, b):
+    a = jnp.clip(a, 0.0, 1e12)
+    b = jnp.clip(b, 0.0, 1e12)
+    t = a * a
+    return t / jnp.maximum(b * b + t, 1e-20)
+
+
+def trace_paths(
+    ds: DeviceScene,
+    o,
+    d,
+    uniforms,
+    options: RenderOptions,
+    with_stats: bool = False,
+):
+    """Trace one path per input ray; returns radiance (N, 3), or
+    (radiance, stats) when with_stats — stats counts the actual closest-hit
+    and any-hit ray queries issued (for honest rays/sec metrics and the
+    bounce-occupancy log, SURVEY.md §5 observability).
+
+    uniforms: (N, 4 + 5*max_depth) — layout in render/sampling.py; the
+    first 4 (raygen) entries are unused here.
+    """
+    n = o.shape[0]
+    n_closest = jnp.int32(0)
+    n_anyhit = jnp.int32(0)
+    sc = ds.scene
+    mats = sc.materials
+    num_lights = sc.lights.p.shape[0]
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    T = jnp.ones((n, 3), jnp.float32)
+    prev_pdf = jnp.ones(n, jnp.float32)
+    is_specular = jnp.ones(n, bool)
+    alive = jnp.ones(n, bool)
+
+    for bounce in range(options.max_depth):
+        base = 4 + 5 * bounce
+        u_lp = uniforms[:, base + 0]
+        u_l1 = uniforms[:, base + 1]
+        u_l2 = uniforms[:, base + 2]
+        u_b1 = uniforms[:, base + 3]
+        u_b2 = uniforms[:, base + 4]
+
+        n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
+        hit = _closest_hit(ds, o, d, alive, options)
+        got = alive & (hit.tri >= 0)
+        alive = got
+
+        tri_safe = jnp.maximum(hit.tri, 0)
+        mtl = sc.tri_v[tri_safe, 3]
+        n_shade = _shading_normal(ds, tri_safe, hit.u, hit.v)
+        cos_incident = cm.dot(d, n_shade)
+        n_flip = jnp.where((cos_incident > 0)[:, None], -n_shade, n_shade)
+
+        albedo = _albedo(ds, mtl, tri_safe, hit.u, hit.v)
+        mat_type = mats.albedo[mtl, 3].astype(jnp.int32)
+        emission = mats.emission[mtl, :3]
+        emissive = mats.emission[mtl, 3] != -1
+
+        # --- emissive hit (path_trace.fs:894-928)
+        hit_light = got & emissive
+        if num_lights > 0:
+            li = jnp.clip(sc.tri_vt[tri_safe, 3], 0, num_lights - 1)
+            area = sc.lights.area_pdf[li, 0]
+            cos_light = -cm.dot(d, n_flip)
+            pdf_select = 1.0 / num_lights
+            pdf_light = (
+                hit.t * hit.t
+                / jnp.maximum(area * jnp.maximum(cos_light, 1e-8), 1e-20)
+                * pdf_select
+            )
+            w_mis = jnp.where(is_specular, 1.0, _power_heuristic(prev_pdf, pdf_light))
+            L = L + jnp.where(hit_light[:, None], T * emission * w_mis[:, None], 0.0)
+            alive = alive & ~hit_light
+
+        hit_point = o + d * hit.t[:, None] + n_flip * RAY_OFFSET
+
+        type_is = lambda ids: jnp.isin(mat_type, jnp.asarray(ids, jnp.int32))
+        is_spec_mat = type_is(_SPECULAR_IDS)
+
+        # --- NEE with MIS (path_trace.fs:938-1002)
+        if num_lights > 0:
+            li = jnp.minimum((u_lp * num_lights).astype(jnp.int32), num_lights - 1)
+            s = jnp.sqrt(u_l1)
+            b0 = 1.0 - s
+            b1 = u_l2 * s
+            lt = sc.lights
+            lpos = lt.p[li] + b0[:, None] * lt.u[li] + b1[:, None] * lt.v[li]
+            ldir = lpos - hit_point
+            dist = cm.norm(ldir)
+            ldir = ldir / jnp.maximum(dist[:, None], 1e-20)
+            cos_mtl = cm.dot(ldir, n_flip)
+            cos_light = cm.dot(ldir, lt.n[li])
+            cand = alive & ~is_spec_mat & (cos_mtl > 0) & (cos_light < 0)
+            n_anyhit = n_anyhit + jnp.sum(cand.astype(jnp.int32))
+            shadowed = _occluded(
+                ds, hit_point, ldir, jnp.where(cand, dist - EPS, 0.0), cand, options
+            )
+            visible = cand & ~shadowed
+            area = lt.area_pdf[li, 0]
+            pdf_select = 1.0 / num_lights
+            pdf_light = (
+                dist * dist
+                / jnp.maximum(area * jnp.maximum(-cos_light, 1e-8), 1e-20)
+                * pdf_select
+            )
+            le = lt.e[li]
+            bsdf_pdf = jnp.maximum(cos_mtl, 0.0) / jnp.pi
+            w_mis = _power_heuristic(pdf_light, bsdf_pdf)
+            if options.exact_reference_nee:
+                contrib = T * le * albedo * (
+                    w_mis / jnp.maximum(pdf_light, 1e-20)
+                )[:, None]
+            else:
+                f = albedo / jnp.pi
+                contrib = T * le * f * (
+                    cos_mtl * w_mis / jnp.maximum(pdf_light, 1e-20)
+                )[:, None]
+            L = L + jnp.where(visible[:, None], contrib, 0.0)
+
+        # --- continuation: diffuse cosine lobe / mirror / glass
+        local = cm.cosine_hemisphere_dir(u_b1, u_b2)
+        diff_dir = cm.local_to_world(local, n_flip)
+        diff_pdf = jnp.maximum(local[:, 2], 1e-8) / jnp.pi
+
+        refl_dir = cm.reflect(d, n_flip)
+
+        new_d = diff_dir
+        new_T = T * albedo
+        new_pdf = diff_pdf
+        new_spec = jnp.zeros(n, bool)
+
+        mirror = mat_type == int(MaterialType.MIRROR)
+        new_d = jnp.where(mirror[:, None], refl_dir, new_d)
+        new_pdf = jnp.where(mirror, 1.0, new_pdf)
+        new_spec = new_spec | mirror
+
+        glass = type_is(_GLASS_IDS)
+        ior = mats.specular[mtl, 3]
+        entering = cos_incident <= 0
+        eta = jnp.where(entering, 1.0 / jnp.maximum(ior, 1e-6), ior)
+        ci = jnp.abs(cm.dot(d, n_flip))
+        sin2_t = eta * eta * jnp.maximum(1.0 - ci * ci, 0.0)
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        r_par = (ci - eta * cos_t) / jnp.maximum(ci + eta * cos_t, 1e-12)
+        r_perp = (eta * ci - cos_t) / jnp.maximum(eta * ci + cos_t, 1e-12)
+        fres = jnp.where(sin2_t >= 1.0, 1.0, 0.5 * (r_par**2 + r_perp**2))
+        refr_dir = cm.normalize(eta[:, None] * d + (eta * ci - cos_t)[:, None] * n_flip)
+        choose_refl = (u_b1 < fres) | (sin2_t >= 1.0)
+        gdir = jnp.where(choose_refl[:, None], refl_dir, refr_dir)
+        new_d = jnp.where(glass[:, None], gdir, new_d)
+        new_pdf = jnp.where(glass, 1.0, new_pdf)
+        new_spec = new_spec | glass
+        hit_point = hit_point + jnp.where(
+            (glass & ~choose_refl)[:, None], -2.0 * RAY_OFFSET * n_flip, 0.0
+        )
+
+        o = hit_point
+        d = cm.normalize(new_d)
+        T = jnp.where(alive[:, None], new_T, T)
+        prev_pdf = new_pdf
+        is_specular = new_spec
+
+    if with_stats:
+        return L, {"rays_closest": n_closest, "rays_anyhit": n_anyhit}
+    return L
+
+
+@partial(jax.jit, static_argnames=("width", "height", "options"))
+def render_sample(
+    ds: DeviceScene,
+    camera: Camera,
+    uniforms,
+    width: int,
+    height: int,
+    options: RenderOptions,
+):
+    """One full sample of every pixel: raygen + path trace.  Returns
+    (H*W, 3) radiance — the jitted hot path of the progressive loop."""
+    o, d = generate_rays(camera, width, height, uniforms)
+    return trace_paths(ds, o, d, uniforms, options)

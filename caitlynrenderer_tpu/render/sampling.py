@@ -40,6 +40,25 @@ def draw_uniforms(key: jax.Array, num_pixels: int, max_depth: int) -> jax.Array:
     )
 
 
+def pixel_uniforms(key: jax.Array, pixel_ids, max_depth: int) -> jax.Array:
+    """Per-pixel-keyed uniforms: stream i depends only on (key, pixel_id).
+
+    This is the shard-invariant path: a pixel's random numbers are identical
+    whether the pixel axis lives on 1 chip or is sharded over 64, because
+    the key is folded with the *global* pixel id, not the lane position.
+    Costs one threefry fold per pixel — counter-based RNG is exactly what
+    makes this affordable (SURVEY.md §7 RNG design).
+
+    pixel_ids: (N,) i32. Returns (N, 4 + 5*max_depth) f32 in [0, 1).
+    """
+    n_u = uniforms_per_sample(max_depth)
+
+    def one(pid):
+        return jax.random.uniform(jax.random.fold_in(key, pid), (n_u,), jnp.float32)
+
+    return jax.vmap(one)(pixel_ids)
+
+
 def sample_key(base_key: jax.Array, sample_idx) -> jax.Array:
     """Per-sample key: fold the progressive sample counter into the base key.
 

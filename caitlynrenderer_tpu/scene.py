@@ -1,0 +1,87 @@
+"""Device scene: host SceneArrays + acceleration structure, uploaded to HBM.
+
+The reference's CPU→GPU boundary is `gpu_data()` (`/root/reference/Caitlyn/
+Scene.h:1000-1156`): flat arrays become GL texture-buffer objects.  The TPU
+equivalent is `jax.device_put` of the same flat arrays (optionally with an
+explicit replicated sharding over a mesh — see parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caitlynrenderer_tpu.accel.bvh import FlatBVH, build_bvh, reorder_scene
+from caitlynrenderer_tpu.core.types import SceneArrays
+
+
+class DeviceScene(NamedTuple):
+    """Scene arrays (triangle order = BVH leaf order) + flat BVH, on device.
+
+    cw_nodes is the packed CWBVH node8 array ((N8, 20) uint32) when the
+    8-wide accelerator is built, else a (0, 20) placeholder.
+    """
+
+    scene: SceneArrays  # fields are jnp arrays
+    node_bounds: jax.Array  # (Nn, 6) f32
+    node_meta: jax.Array  # (Nn, 2) i32
+    cw_nodes: jax.Array  # (N8, 20) u32
+    # NOTE: the leaf width used at build time is a *static* render option
+    # (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
+    # static; it is not stored here because NamedTuple fields are pytree
+    # leaves and would be traced.
+
+
+def upload_scene(
+    scene_np: SceneArrays,
+    accel: str = "bvh2",
+    max_leaf: int = 4,
+    bvh: Optional[FlatBVH] = None,
+    device=None,
+) -> DeviceScene:
+    """Build the acceleration structure (host pass) and move everything to
+    device HBM.  `accel`: "brute" (no BVH), "bvh2"/"sbvh" (binary flat BVH)
+    or "cwbvh" (8-wide compressed; includes the binary BVH for shadows)."""
+    cw_nodes = np.zeros((0, 20), np.uint32)
+    if accel == "brute" or scene_np.num_triangles == 0:
+        bvh = FlatBVH(
+            node_bounds=np.zeros((1, 6), np.float32),
+            node_meta=np.array([[0, max(scene_np.num_triangles, 1)]], np.int32),
+            tri_order=np.arange(scene_np.num_triangles, dtype=np.int32),
+        )
+        ordered = scene_np
+    else:
+        if bvh is None:
+            if accel == "sbvh":
+                from caitlynrenderer_tpu.accel.sbvh import build_sbvh
+
+                bvh = build_sbvh(scene_np.vertices, scene_np.tri_v, max_leaf=max_leaf)
+            else:
+                bvh = build_bvh(scene_np.vertices, scene_np.tri_v, max_leaf=max_leaf)
+        ordered = reorder_scene(scene_np, bvh)
+        if accel == "cwbvh":
+            from caitlynrenderer_tpu.accel.cwbvh import build_cwbvh
+
+            cw = build_cwbvh(bvh, ordered.vertices, ordered.tri_v)
+            cw_nodes = cw.nodes
+            ordered = ordered._replace(
+                tri_v=ordered.tri_v[cw.tri_order],
+                tri_vn=ordered.tri_vn[cw.tri_order],
+                tri_vt=ordered.tri_vt[cw.tri_order],
+            )
+
+    put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
+
+    def to_dev(x):
+        return put(jnp.asarray(x)) if x is not None else None
+
+    dev_scene = jax.tree_util.tree_map(to_dev, ordered)
+    return DeviceScene(
+        scene=dev_scene,
+        node_bounds=to_dev(bvh.node_bounds),
+        node_meta=to_dev(bvh.node_meta),
+        cw_nodes=to_dev(cw_nodes),
+    )

@@ -7,12 +7,19 @@ in SURVEY.md §4.5.  Must run before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment may pre-set JAX_PLATFORMS (e.g. the axon TPU tunnel) and
+# partially pre-import jax, in which case the env var alone is ignored —
+# force the platform through the config API as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
