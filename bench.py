@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--accel", default="bvh2", choices=["brute", "bvh2", "sbvh", "cwbvh"])
+    ap.add_argument("--accel", default="bvh2", choices=["brute", "bvh2", "sbvh", "wide", "cwbvh"])
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)

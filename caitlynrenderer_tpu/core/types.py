@@ -167,7 +167,7 @@ class RenderOptions(NamedTuple):
     num_tiles_y: int = 1
     hdr_multiplier: float = 1.0
     use_env_map: bool = False
-    accel: str = "bvh2"  # {"brute", "bvh2", "sbvh", "cwbvh"}
+    accel: str = "bvh2"  # {"brute", "bvh2", "sbvh", "wide", "cwbvh"}
     traversal: str = "xla"  # {"xla", "pallas"}
     max_leaf: int = 4  # BVH leaf width (must match the uploaded build)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)
@@ -206,12 +206,19 @@ def make_camera(
 
 # Material types that are handled as perfect-specular (delta) lobes by the
 # integrator: no NEE at these vertices, path stays "specular" for MIS.
+# ROUGH_DIELECTRIC is approximated as smooth glass in v1 (documented
+# estimator simplification — a microfacet transmission lobe is future work);
+# GLASS_NO_REFRACT gets ior≈1 at parse time (straight-through transmission).
 SPECULAR_TYPES = (
     MaterialType.MIRROR,
     MaterialType.GLASS,
     MaterialType.GLASS_COLOR,
     MaterialType.GLASS_NO_REFRACT,
+    MaterialType.ROUGH_DIELECTRIC,
     MaterialType.CONDUCTOR,
     MaterialType.THIN_DIELECTRIC,
     MaterialType.THIN_SHEET,
 )
+
+# Types shaded as pure Lambert (the reference's concrete integrator math).
+LAMBERT_TYPES = (MaterialType.DIFFUSE, MaterialType.LIGHT_DIFFUSE)

@@ -37,6 +37,7 @@ from caitlynrenderer_tpu.core.types import (
     SceneArrays,
     SPECULAR_TYPES,
 )
+from caitlynrenderer_tpu.cpu_reference import bsdf as disney
 
 INF = 1e9
 EPS = 1e-4
@@ -45,7 +46,7 @@ _SPECULAR_IDS = np.array([int(t) for t in SPECULAR_TYPES], np.int32)
 
 
 def uniforms_per_sample(max_depth: int) -> int:
-    return 4 + 5 * max_depth
+    return 4 + 6 * max_depth
 
 
 def _normalize(v, axis=-1):
@@ -209,12 +210,13 @@ def render(
     for bounce in range(max_depth):
         if not alive.any():
             break
-        base = 4 + 5 * bounce
+        base = 4 + 6 * bounce
         u_lp = uniforms[:, base + 0]
         u_l1 = uniforms[:, base + 1]
         u_l2 = uniforms[:, base + 2]
         u_b1 = uniforms[:, base + 3]
         u_b2 = uniforms[:, base + 4]
+        u_lobe = uniforms[:, base + 5]
 
         t, tri, bu, bv = intersect_brute(scene, o, d)
         hit = alive & (tri >= 0)
@@ -248,6 +250,11 @@ def render(
         hit_point = o + d * t[:, None] + n_flip * RAY_OFFSET
 
         is_spec_mat = np.isin(mat_type, _SPECULAR_IDS)
+        from caitlynrenderer_tpu.core.types import LAMBERT_TYPES
+        is_lambert = np.isin(mat_type, np.array([int(t) for t in LAMBERT_TYPES]))
+        is_disney = ~is_spec_mat & ~is_lambert
+        dis_p = disney.params_from_materials(mats, mtl, albedo)
+        view = -d
 
         # --- NEE for diffuse lanes
         if num_lights > 0:
@@ -278,15 +285,17 @@ def render(
                     * pdf_select
                 )
                 le = lights.e[li]
-                bsdf_pdf = np.maximum(cos_mtl, 0.0) / np.pi
-                w_mis = _power_heuristic(pdf_light, bsdf_pdf)
+                f_dis, pdf_dis = disney.eval_pdf(dis_p, n_flip, view, ldir)
+                cos_pos = np.maximum(cos_mtl, 0.0)
                 if exact_reference_nee:
-                    contrib = T * le * albedo * (w_mis / np.maximum(pdf_light, 1e-20))[:, None]
+                    f_lam = albedo
                 else:
-                    f = albedo / np.pi
-                    contrib = (
-                        T * le * f * (cos_mtl * w_mis / np.maximum(pdf_light, 1e-20))[:, None]
-                    )
+                    f_lam = albedo * (cos_pos / np.pi)[:, None]
+                pdf_lam = cos_pos / np.pi
+                f_nee = np.where(is_disney[:, None], f_dis, f_lam)
+                bsdf_pdf = np.where(is_disney, pdf_dis, pdf_lam)
+                w_mis = _power_heuristic(pdf_light, bsdf_pdf)
+                contrib = T * le * f_nee * (w_mis / np.maximum(pdf_light, 1e-20))[:, None]
                 L += np.where(visible[:, None], contrib, 0.0)
 
         # --- sample continuation direction
@@ -303,11 +312,18 @@ def render(
         )
         diff_pdf = np.maximum(local[:, 2], 1e-8) / np.pi
 
+        dis_dir, dis_f, dis_pdf = disney.sample(dis_p, n_flip, view, u_lobe, u_b1, u_b2)
+        dis_ok = dis_pdf > 1e-9
+        dis_T = T * np.where(
+            dis_ok[:, None], dis_f / np.maximum(dis_pdf, 1e-9)[:, None], 0.0
+        )
+
         refl_dir = d - 2.0 * np.sum(d * n_flip, axis=-1, keepdims=True) * n_flip
 
-        new_d = diff_dir
-        new_T = T * albedo
-        new_pdf = diff_pdf
+        new_d = np.where(is_disney[:, None], dis_dir, diff_dir)
+        new_T = np.where(is_disney[:, None], dis_T, T * albedo)
+        new_pdf = np.where(is_disney, np.maximum(dis_pdf, 1e-9), diff_pdf)
+        alive = alive & np.where(is_disney, dis_ok, True)
         new_spec_flag = np.zeros(n, bool)
 
         mirror = is_spec_mat & (mat_type == int(MaterialType.MIRROR))
@@ -320,7 +336,10 @@ def render(
         glass_ids = (
             int(MaterialType.GLASS),
             int(MaterialType.GLASS_COLOR),
+            int(MaterialType.GLASS_NO_REFRACT),
+            int(MaterialType.ROUGH_DIELECTRIC),
             int(MaterialType.THIN_DIELECTRIC),
+            int(MaterialType.THIN_SHEET),
         )
         glass = is_spec_mat & np.isin(mat_type, np.array(glass_ids))
         if glass.any():
@@ -336,7 +355,7 @@ def render(
             refr_dir = _normalize(
                 eta[:, None] * d + (eta * ci - cos_t)[:, None] * n_flip
             )
-            choose_refl = (u_b1 < fres) | (sin2_t >= 1.0)
+            choose_refl = (u_lobe < fres) | (sin2_t >= 1.0)
             gdir = np.where(choose_refl[:, None], refl_dir, refr_dir)
             new_d = np.where(glass[:, None], gdir, new_d)
             new_T = np.where(glass[:, None], T * albedo, new_T)

@@ -286,6 +286,8 @@ def load_obj(
 
     if not mtls:
         mtls = [_Mtl(name="default")]
+    for m in mtls:
+        _apply_type_defaults(m)
 
     verts = np.asarray(vertices, np.float32).reshape(-1, 3)
     translation = np.zeros(3, np.float32)
@@ -316,6 +318,26 @@ def load_obj(
         )
     )
     return scene, translation
+
+
+def _apply_type_defaults(m: _Mtl) -> None:
+    """Map the material-type families onto Disney/dielectric parameters
+    (the reference's 18-type enum is the capability surface but carries no
+    parameter storage — these defaults realize each family's intent)."""
+    t = m.mat_type
+    if t in (
+        int(MaterialType.ROUGH_CONDUCTOR),
+        int(MaterialType.ROUGH_CONDUCTOR_COMPLEX),
+        int(MaterialType.ROUGH_CONDUCTOR_SIMPLE),
+    ):
+        m.metallic = 1.0
+    elif t == int(MaterialType.PLASTIC):
+        m.roughness = min(m.roughness, 0.15)
+    elif t == int(MaterialType.SMOOTH_COAT):
+        m.clearcoat = max(m.clearcoat, 1.0)
+        m.clearcoat_gloss = 1.0
+    elif t == int(MaterialType.GLASS_NO_REFRACT):
+        m.ior = 1.0001  # straight-through transmission
 
 
 def _pack_lights(rows, translation: np.ndarray) -> Lights:

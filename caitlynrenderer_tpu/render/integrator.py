@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from caitlynrenderer_tpu.core import math as cm
 from caitlynrenderer_tpu.core.camera import generate_rays
 from caitlynrenderer_tpu.core.types import Camera, MaterialType, RenderOptions
+from caitlynrenderer_tpu.ops import bsdf
 from caitlynrenderer_tpu.ops import intersect as isect
 from caitlynrenderer_tpu.ops import texture as tex
 from caitlynrenderer_tpu.ops.traverse_xla import traverse_anyhit, traverse_closest
@@ -36,20 +37,18 @@ INF = cm.INF
 EPS = cm.EPS
 RAY_OFFSET = cm.RAY_OFFSET
 
+from caitlynrenderer_tpu.core.types import LAMBERT_TYPES, SPECULAR_TYPES
+
 _GLASS_IDS = (
     int(MaterialType.GLASS),
     int(MaterialType.GLASS_COLOR),
-    int(MaterialType.THIN_DIELECTRIC),
-)
-_SPECULAR_IDS = (
-    int(MaterialType.MIRROR),
-    int(MaterialType.GLASS),
-    int(MaterialType.GLASS_COLOR),
     int(MaterialType.GLASS_NO_REFRACT),
-    int(MaterialType.CONDUCTOR),
+    int(MaterialType.ROUGH_DIELECTRIC),
     int(MaterialType.THIN_DIELECTRIC),
     int(MaterialType.THIN_SHEET),
 )
+_SPECULAR_IDS = tuple(int(t) for t in SPECULAR_TYPES)
+_LAMBERT_IDS = tuple(int(t) for t in LAMBERT_TYPES)
 
 
 class Hit(NamedTuple):
@@ -84,6 +83,15 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
         t, tri, u, v = isect.intersect_brute(o, d, sc.vertices, sc.tri_v)
         tri = jnp.where(active, tri, -1)
         return Hit(t, tri, u, v)
+    if options.accel == "wide":
+        from caitlynrenderer_tpu.ops.traverse_wide import wide_closest
+
+        t, tri, u, v = wide_closest(
+            o, d, active,
+            ds.wb_group_bounds, ds.wb_cluster_bounds,
+            ds.wb_packed_tris, ds.wb_tri_index,
+        )
+        return Hit(t, tri, u, v)
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_closest
 
@@ -104,6 +112,14 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
     if options.accel == "brute":
         occ = isect.occluded_brute(o, d, jnp.where(active, t_max, 0.0), sc.vertices, sc.tri_v)
         return occ & active
+    if options.accel == "wide":
+        from caitlynrenderer_tpu.ops.traverse_wide import wide_anyhit
+
+        return wide_anyhit(
+            o, d, t_max, active,
+            ds.wb_group_bounds, ds.wb_cluster_bounds,
+            ds.wb_packed_tris, ds.wb_tri_index,
+        )
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit
 
@@ -189,12 +205,13 @@ def trace_paths(
     alive = jnp.ones(n, bool)
 
     for bounce in range(options.max_depth):
-        base = 4 + 5 * bounce
+        base = 4 + 6 * bounce
         u_lp = uniforms[:, base + 0]
         u_l1 = uniforms[:, base + 1]
         u_l2 = uniforms[:, base + 2]
         u_b1 = uniforms[:, base + 3]
         u_b2 = uniforms[:, base + 4]
+        u_lobe = uniforms[:, base + 5]
 
         n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
         hit = _closest_hit(ds, o, d, alive, options)
@@ -232,6 +249,14 @@ def trace_paths(
 
         type_is = lambda ids: jnp.isin(mat_type, jnp.asarray(ids, jnp.int32))
         is_spec_mat = type_is(_SPECULAR_IDS)
+        # Everything that is neither Lambert-diffuse nor a delta lobe goes
+        # through the Disney BRDF with per-material parameters (the rough /
+        # plastic / conductor / coat families map onto Disney parameters at
+        # parse time — io/obj.py `_apply_type_defaults`).
+        is_lambert = type_is(_LAMBERT_IDS)
+        is_disney = ~is_spec_mat & ~is_lambert
+        dis_p = bsdf.params_from_materials(mats, mtl, albedo)
+        view = -d  # toward viewer
 
         # --- NEE with MIS (path_trace.fs:938-1002)
         if num_lights > 0:
@@ -260,29 +285,40 @@ def trace_paths(
                 * pdf_select
             )
             le = lt.e[li]
-            bsdf_pdf = jnp.maximum(cos_mtl, 0.0) / jnp.pi
-            w_mis = _power_heuristic(pdf_light, bsdf_pdf)
+            # BSDF value toward the light (cos-premultiplied) + its pdf,
+            # per material family.
+            f_dis, pdf_dis = bsdf.eval_pdf(dis_p, n_flip, view, ldir)
+            cos_pos = jnp.maximum(cos_mtl, 0.0)
             if options.exact_reference_nee:
-                contrib = T * le * albedo * (
-                    w_mis / jnp.maximum(pdf_light, 1e-20)
-                )[:, None]
+                f_lam = albedo  # reference estimator (path_trace.fs:988-998)
             else:
-                f = albedo / jnp.pi
-                contrib = T * le * f * (
-                    cos_mtl * w_mis / jnp.maximum(pdf_light, 1e-20)
-                )[:, None]
+                f_lam = albedo * (cos_pos / jnp.pi)[:, None]
+            pdf_lam = cos_pos / jnp.pi
+            f_nee = jnp.where(is_disney[:, None], f_dis, f_lam)
+            bsdf_pdf = jnp.where(is_disney, pdf_dis, pdf_lam)
+            w_mis = _power_heuristic(pdf_light, bsdf_pdf)
+            contrib = T * le * f_nee * (
+                w_mis / jnp.maximum(pdf_light, 1e-20)
+            )[:, None]
             L = L + jnp.where(visible[:, None], contrib, 0.0)
 
-        # --- continuation: diffuse cosine lobe / mirror / glass
+        # --- continuation: lambert cosine / Disney sample / mirror / glass
         local = cm.cosine_hemisphere_dir(u_b1, u_b2)
         diff_dir = cm.local_to_world(local, n_flip)
         diff_pdf = jnp.maximum(local[:, 2], 1e-8) / jnp.pi
 
+        dis_dir, dis_f, dis_pdf = bsdf.sample(dis_p, n_flip, view, u_lobe, u_b1, u_b2)
+        dis_ok = dis_pdf > 1e-9
+        dis_T = T * jnp.where(
+            dis_ok[:, None], dis_f / jnp.maximum(dis_pdf, 1e-9)[:, None], 0.0
+        )
+
         refl_dir = cm.reflect(d, n_flip)
 
-        new_d = diff_dir
-        new_T = T * albedo
-        new_pdf = diff_pdf
+        new_d = jnp.where(is_disney[:, None], dis_dir, diff_dir)
+        new_T = jnp.where(is_disney[:, None], dis_T, T * albedo)
+        new_pdf = jnp.where(is_disney, jnp.maximum(dis_pdf, 1e-9), diff_pdf)
+        alive = alive & jnp.where(is_disney, dis_ok, True)
         new_spec = jnp.zeros(n, bool)
 
         mirror = mat_type == int(MaterialType.MIRROR)
@@ -301,7 +337,7 @@ def trace_paths(
         r_perp = (eta * ci - cos_t) / jnp.maximum(eta * ci + cos_t, 1e-12)
         fres = jnp.where(sin2_t >= 1.0, 1.0, 0.5 * (r_par**2 + r_perp**2))
         refr_dir = cm.normalize(eta[:, None] * d + (eta * ci - cos_t)[:, None] * n_flip)
-        choose_refl = (u_b1 < fres) | (sin2_t >= 1.0)
+        choose_refl = (u_lobe < fres) | (sin2_t >= 1.0)
         gdir = jnp.where(choose_refl[:, None], refl_dir, refr_dir)
         new_d = jnp.where(glass[:, None], gdir, new_d)
         new_pdf = jnp.where(glass, 1.0, new_pdf)

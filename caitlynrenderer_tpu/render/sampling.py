@@ -14,8 +14,10 @@ Uniform layout per pixel-sample (consumed identically by the CPU oracle in
 
     [0:2]  tent-filter AA jitter pair
     [2:4]  thin-lens aperture pair
-    then per bounce b: [4+5b : 9+5b] =
-        light_pick, light_u1, light_u2, bsdf_u1, bsdf_u2
+    then per bounce b: [4+6b : 10+6b] =
+        light_pick, light_u1, light_u2, bsdf_u1, bsdf_u2, bsdf_lobe
+    (bsdf_lobe selects the Disney sampling lobe / the dielectric
+     reflect-vs-refract branch)
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import jax.numpy as jnp
 
 
 def uniforms_per_sample(max_depth: int) -> int:
-    return 4 + 5 * max_depth
+    return 4 + 6 * max_depth
 
 
 def draw_uniforms(key: jax.Array, num_pixels: int, max_depth: int) -> jax.Array:

@@ -29,6 +29,10 @@ class DeviceScene(NamedTuple):
     node_bounds: jax.Array  # (Nn, 6) f32
     node_meta: jax.Array  # (Nn, 2) i32
     cw_nodes: jax.Array  # (N8, 20) u32
+    wb_group_bounds: jax.Array  # (G, 6) f32      — wide BVH level 0
+    wb_cluster_bounds: jax.Array  # (G, M, 6) f32 — wide BVH level 1
+    wb_packed_tris: jax.Array  # (G*M, K, 9) f32  — packed leaf triangles
+    wb_tri_index: jax.Array  # (G*M, K) i32       — global tri ids, -1 pad
     # NOTE: the leaf width used at build time is a *static* render option
     # (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
     # static; it is not stored here because NamedTuple fields are pytree
@@ -41,11 +45,14 @@ def upload_scene(
     max_leaf: int = 4,
     bvh: Optional[FlatBVH] = None,
     device=None,
+    wide_cluster_tris: int = 64,
 ) -> DeviceScene:
     """Build the acceleration structure (host pass) and move everything to
-    device HBM.  `accel`: "brute" (no BVH), "bvh2"/"sbvh" (binary flat BVH)
-    or "cwbvh" (8-wide compressed; includes the binary BVH for shadows)."""
+    device HBM.  `accel`: "brute" (no BVH), "bvh2"/"sbvh" (binary flat
+    BVH), "wide" (super-wide two-level, the TPU production path — see
+    accel/wide.py) or "cwbvh" (reference-format 8-wide compressed)."""
     cw_nodes = np.zeros((0, 20), np.uint32)
+    wb = None
     if accel == "brute" or scene_np.num_triangles == 0:
         bvh = FlatBVH(
             node_bounds=np.zeros((1, 6), np.float32),
@@ -62,6 +69,15 @@ def upload_scene(
             else:
                 bvh = build_bvh(scene_np.vertices, scene_np.tri_v, max_leaf=max_leaf)
         ordered = reorder_scene(scene_np, bvh)
+        if accel == "wide":
+            from caitlynrenderer_tpu.accel.wide import build_wide
+
+            wb = build_wide(
+                np.asarray(ordered.vertices),
+                np.asarray(ordered.tri_v),
+                bvh,
+                cluster_tris=max(wide_cluster_tris, 1),
+            )
         if accel == "cwbvh":
             from caitlynrenderer_tpu.accel.cwbvh import build_cwbvh
 
@@ -78,10 +94,24 @@ def upload_scene(
     def to_dev(x):
         return put(jnp.asarray(x)) if x is not None else None
 
+    if wb is None:
+        from caitlynrenderer_tpu.accel.wide import WideBVH
+
+        wb = WideBVH(
+            group_bounds=np.zeros((0, 6), np.float32),
+            cluster_bounds=np.zeros((0, 1, 6), np.float32),
+            packed_tris=np.zeros((0, 1, 9), np.float32),
+            tri_index=np.zeros((0, 1), np.int32),
+        )
+
     dev_scene = jax.tree_util.tree_map(to_dev, ordered)
     return DeviceScene(
         scene=dev_scene,
         node_bounds=to_dev(bvh.node_bounds),
         node_meta=to_dev(bvh.node_meta),
         cw_nodes=to_dev(cw_nodes),
+        wb_group_bounds=to_dev(wb.group_bounds),
+        wb_cluster_bounds=to_dev(wb.cluster_bounds),
+        wb_packed_tris=to_dev(wb.packed_tris),
+        wb_tri_index=to_dev(wb.tri_index),
     )
