@@ -170,6 +170,7 @@ class RenderOptions(NamedTuple):
     accel: str = "bvh2"  # {"brute", "bvh2", "sbvh", "wide", "cwbvh"}
     traversal: str = "xla"  # {"xla", "pallas"}
     max_leaf: int = 4  # BVH leaf width (must match the uploaded build)
+    ray_chunk: int = 8192  # traversal chunk size (coherence-sorted lax.map)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)
     exact_reference_nee: bool = False  # reproduce reference NEE estimator
     # (the reference omits the cos/pi factor in its NEE term,

@@ -74,6 +74,122 @@ def _mt_block(o, d, tris, valid, t_best):
     return t_cand[n_idx, slot], slot, u[n_idx, slot], v[n_idx, slot]
 
 
+def _sort_keys(o, d, scene_min, scene_inv_extent):
+    """Coherence sort key: direction octant (3 bits) then 7-bit-per-axis
+    Morton code of the origin.  Sorting the batch by this key makes lanes
+    in a chunk traverse similar node sequences, which collapses the
+    batch-max iteration count toward the per-lane mean (the TPU analog of
+    GPU ray-sorting for warp coherence; SURVEY.md §3.3 divergence note)."""
+    oct_ = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    q = jnp.clip(((o - scene_min) * scene_inv_extent * 127.0), 0, 127).astype(jnp.int32)
+
+    def spread(x):  # 7-bit → every 3rd bit
+        x = (x | (x << 14)) & 0x70000F
+        x = (x | (x << 6)) & 0x18C30C3
+        x = (x | (x << 2)) & 0x9249249  # wide enough for 7 bits
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return (oct_ << 21) | (morton & 0x1FFFFF)
+
+
+def chunked_wide_closest(
+    o, d, active, group_bounds, cluster_bounds, packed_tris, tri_index,
+    chunk_size: int = 8192,
+):
+    """Closest-hit in coherence-sorted fixed-size chunks via `lax.map`.
+
+    Chunking bounds each while-loop's batch-max divergence to the chunk and
+    shrinks the per-iteration gather working set; sorting makes chunks
+    coherent so the max approaches the mean.  Exact same results as
+    `wide_closest` (the sort is a permutation; each lane's traversal is
+    independent)."""
+    n = o.shape[0]
+    if n <= chunk_size:
+        return wide_closest(o, d, active, group_bounds, cluster_bounds, packed_tris, tri_index)
+    pad = (-n) % chunk_size
+    scene_min = group_bounds[:, :3].min(axis=0)
+    scene_extent = group_bounds[:, 3:].max(axis=0) - scene_min
+    inv_ext = 1.0 / jnp.maximum(scene_extent, 1e-12)
+    key = _sort_keys(o, d, scene_min, inv_ext)
+    key = jnp.where(active, key, 0x7FFFFFFF)  # park inactive lanes together
+    perm = jnp.argsort(key)
+    inv_perm = jnp.argsort(perm)
+
+    def pad_to(x, fill=0):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], 0)
+
+    o_s = pad_to(o[perm])
+    d_s = pad_to(d[perm], 1.0)
+    a_s = pad_to(active[perm], False)
+    nc = (n + pad) // chunk_size
+
+    def body(args):
+        oc, dc, ac = args
+        return wide_closest(
+            oc, dc, ac, group_bounds, cluster_bounds, packed_tris, tri_index
+        )
+
+    t, tri, u, v = jax.lax.map(
+        body,
+        (
+            o_s.reshape(nc, chunk_size, 3),
+            d_s.reshape(nc, chunk_size, 3),
+            a_s.reshape(nc, chunk_size),
+        ),
+    )
+    flat = lambda x: x.reshape(-1)[:n][inv_perm]
+    return flat(t), flat(tri), flat(u), flat(v)
+
+
+def chunked_wide_anyhit(
+    o, d, t_max, active, group_bounds, cluster_bounds, packed_tris, tri_index,
+    chunk_size: int = 8192,
+):
+    """Any-hit twin of `chunked_wide_closest`."""
+    n = o.shape[0]
+    if n <= chunk_size:
+        return wide_anyhit(o, d, t_max, active, group_bounds, cluster_bounds, packed_tris, tri_index)
+    pad = (-n) % chunk_size
+    scene_min = group_bounds[:, :3].min(axis=0)
+    scene_extent = group_bounds[:, 3:].max(axis=0) - scene_min
+    inv_ext = 1.0 / jnp.maximum(scene_extent, 1e-12)
+    key = _sort_keys(o, d, scene_min, inv_ext)
+    key = jnp.where(active, key, 0x7FFFFFFF)
+    perm = jnp.argsort(key)
+    inv_perm = jnp.argsort(perm)
+
+    def pad_to(x, fill=0):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], 0)
+
+    o_s = pad_to(o[perm])
+    d_s = pad_to(d[perm], 1.0)
+    a_s = pad_to(active[perm], False)
+    t_s = pad_to(t_max[perm])
+    nc = (n + pad) // chunk_size
+
+    def body(args):
+        oc, dc, tc, ac = args
+        return wide_anyhit(
+            oc, dc, tc, ac, group_bounds, cluster_bounds, packed_tris, tri_index
+        )
+
+    occ = jax.lax.map(
+        body,
+        (
+            o_s.reshape(nc, chunk_size, 3),
+            d_s.reshape(nc, chunk_size, 3),
+            t_s.reshape(nc, chunk_size),
+            a_s.reshape(nc, chunk_size),
+        ),
+    )
+    return occ.reshape(-1)[:n][inv_perm]
+
+
 @partial(jax.jit, static_argnames=())
 def wide_closest(o, d, active, group_bounds, cluster_bounds, packed_tris, tri_index):
     """Closest-hit query. Returns (t, tri, u, v); tri = -1 on miss (global

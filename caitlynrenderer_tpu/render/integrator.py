@@ -84,18 +84,20 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
         tri = jnp.where(active, tri, -1)
         return Hit(t, tri, u, v)
     if options.accel == "wide":
-        from caitlynrenderer_tpu.ops.traverse_wide import wide_closest
+        from caitlynrenderer_tpu.ops.traverse_wide import chunked_wide_closest
 
-        t, tri, u, v = wide_closest(
+        t, tri, u, v = chunked_wide_closest(
             o, d, active,
             ds.wb_group_bounds, ds.wb_cluster_bounds,
             ds.wb_packed_tris, ds.wb_tri_index,
+            chunk_size=options.ray_chunk,
         )
         return Hit(t, tri, u, v)
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_closest
 
-        t, tri, u, v = cwbvh_closest(o, d, active, ds.cw_nodes, sc.vertices, sc.tri_v)
+        t, tri, u, v = cwbvh_closest(o, d, active, ds.cw_nodes, ds.cw_tris)
+        tri = jnp.where(active, tri, -1)
         return Hit(t, tri, u, v)
     t, tri, u, v = traverse_closest(
         o, d, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
@@ -113,17 +115,18 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
         occ = isect.occluded_brute(o, d, jnp.where(active, t_max, 0.0), sc.vertices, sc.tri_v)
         return occ & active
     if options.accel == "wide":
-        from caitlynrenderer_tpu.ops.traverse_wide import wide_anyhit
+        from caitlynrenderer_tpu.ops.traverse_wide import chunked_wide_anyhit
 
-        return wide_anyhit(
+        return chunked_wide_anyhit(
             o, d, t_max, active,
             ds.wb_group_bounds, ds.wb_cluster_bounds,
             ds.wb_packed_tris, ds.wb_tri_index,
+            chunk_size=options.ray_chunk,
         )
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit
 
-        return cwbvh_anyhit(o, d, t_max, active, ds.cw_nodes, sc.vertices, sc.tri_v)
+        return cwbvh_anyhit(o, d, t_max, active, ds.cw_nodes, ds.cw_tris)
     return traverse_anyhit(
         o, d, t_max, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
         max_leaf=options.max_leaf,

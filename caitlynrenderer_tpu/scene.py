@@ -29,6 +29,7 @@ class DeviceScene(NamedTuple):
     node_bounds: jax.Array  # (Nn, 6) f32
     node_meta: jax.Array  # (Nn, 2) i32
     cw_nodes: jax.Array  # (N8, 20) u32
+    cw_tris: jax.Array  # (T, 9) f32 — packed v0,e1,e2 in cwbvh order
     wb_group_bounds: jax.Array  # (G, 6) f32      — wide BVH level 0
     wb_cluster_bounds: jax.Array  # (G, M, 6) f32 — wide BVH level 1
     wb_packed_tris: jax.Array  # (G*M, K, 9) f32  — packed leaf triangles
@@ -52,6 +53,7 @@ def upload_scene(
     BVH), "wide" (super-wide two-level, the TPU production path — see
     accel/wide.py) or "cwbvh" (reference-format 8-wide compressed)."""
     cw_nodes = np.zeros((0, 20), np.uint32)
+    cw_tris = np.zeros((0, 9), np.float32)
     wb = None
     if accel == "brute" or scene_np.num_triangles == 0:
         bvh = FlatBVH(
@@ -61,6 +63,9 @@ def upload_scene(
         )
         ordered = scene_np
     else:
+        if accel == "cwbvh":
+            # node8 leaf children hold at most 3 triangles (unary meta).
+            max_leaf = min(max_leaf, 3)
         if bvh is None:
             if accel == "sbvh":
                 from caitlynrenderer_tpu.accel.sbvh import build_sbvh
@@ -88,6 +93,12 @@ def upload_scene(
                 tri_vn=ordered.tri_vn[cw.tri_order],
                 tri_vt=ordered.tri_vt[cw.tri_order],
             )
+            tv = ordered.tri_v
+            p0 = ordered.vertices[tv[:, 0]]
+            cw_tris = np.concatenate(
+                [p0, ordered.vertices[tv[:, 1]] - p0, ordered.vertices[tv[:, 2]] - p0],
+                axis=1,
+            ).astype(np.float32)
 
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
 
@@ -110,6 +121,7 @@ def upload_scene(
         node_bounds=to_dev(bvh.node_bounds),
         node_meta=to_dev(bvh.node_meta),
         cw_nodes=to_dev(cw_nodes),
+        cw_tris=to_dev(cw_tris),
         wb_group_bounds=to_dev(wb.group_bounds),
         wb_cluster_bounds=to_dev(wb.cluster_bounds),
         wb_packed_tris=to_dev(wb.packed_tris),

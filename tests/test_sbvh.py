@@ -1,0 +1,109 @@
+"""SBVH builder: invariants (with duplication), traversal equivalence,
+and SAH-quality comparison vs the object-split-only builder."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from caitlynrenderer_tpu.accel.bvh import build_bvh, reorder_scene, sah_cost
+from caitlynrenderer_tpu.accel.sbvh import build_sbvh
+from caitlynrenderer_tpu.io.builtin_scenes import cornell_box, random_triangle_soup
+from caitlynrenderer_tpu.ops import intersect as isect
+from caitlynrenderer_tpu.ops.traverse_xla import traverse_closest
+
+
+def _scenes():
+    return [
+        ("cornell", cornell_box()[0]),
+        ("soup", random_triangle_soup(1500, seed=4, tri_size=0.5)[0]),
+    ]
+
+
+def test_sbvh_invariants():
+    for name, scene in _scenes():
+        t = scene.num_triangles
+        bvh = build_sbvh(scene.vertices, scene.tri_v, max_leaf=4)
+        leaf = bvh.is_leaf()
+        # Leaf ranges tile the gather list exactly once.
+        starts = bvh.node_meta[leaf, 0]
+        counts = bvh.node_meta[leaf, 1]
+        covered = np.zeros(len(bvh.tri_order), np.int32)
+        for s, c in zip(starts, counts):
+            covered[s : s + c] += 1
+        assert (covered == 1).all(), name
+        # Every original triangle appears at least once (duplicates allowed).
+        assert set(bvh.tri_order.tolist()) == set(range(t)), name
+        # Duplication bounded.
+        assert len(bvh.tri_order) <= int(t * 1.6) + 16, name
+        # Parent contains children.
+        inner = ~leaf
+        left = bvh.node_meta[inner, 0]
+        pb = bvh.node_bounds[inner]
+        for child in (left, left + 1):
+            cb = bvh.node_bounds[child]
+            assert (cb[:, :3] >= pb[:, :3] - 1e-4).all(), name
+            assert (cb[:, 3:] <= pb[:, 3:] + 1e-4).all(), name
+
+
+def test_sbvh_traversal_matches_brute():
+    for name, scene in _scenes():
+        bvh = build_sbvh(scene.vertices, scene.tri_v, max_leaf=4)
+        sr = reorder_scene(scene, bvh)  # materializes duplicated triangles
+        rng = np.random.default_rng(21)
+        n = 256
+        lo = scene.vertices.min(axis=0) - 1.0
+        hi = scene.vertices.max(axis=0) + 1.0
+        o = (rng.random((n, 3)).astype(np.float32)) * (hi - lo) + lo
+        d = rng.standard_normal((n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+        # Brute force over the ORIGINAL (unduplicated) triangles.
+        t_b, tri_b, _, _ = isect.intersect_brute(
+            jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(scene.vertices), jnp.asarray(scene.tri_v),
+        )
+        t_t, tri_t, _, _ = traverse_closest(
+            jnp.asarray(o), jnp.asarray(d), jnp.ones(n, bool),
+            jnp.asarray(bvh.node_bounds), jnp.asarray(bvh.node_meta),
+            jnp.asarray(sr.vertices), jnp.asarray(sr.tri_v),
+        )
+        hit_b = np.asarray(tri_b) >= 0
+        np.testing.assert_array_equal(hit_b, np.asarray(tri_t) >= 0, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(t_t)[hit_b], np.asarray(t_b)[hit_b], rtol=1e-5, err_msg=name
+        )
+
+
+def test_sbvh_beats_sah_on_overlap_heavy_scene():
+    """Reference claim: SBVH 20-30% faster than SAH on overlap-heavy
+    scenes (README.md:21) — verify the SAH *cost* improves with spatial
+    splits on a soup of large overlapping triangles."""
+    scene, _ = random_triangle_soup(1500, seed=4, tri_size=0.8)
+    sah = build_bvh(scene.vertices, scene.tri_v, max_leaf=4)
+    sbvh = build_sbvh(scene.vertices, scene.tri_v, max_leaf=4)
+    c_sah = sah_cost(sah)
+    c_sbvh = sah_cost(sbvh)
+    # Spatial splits must not be worse; on this overlap-heavy soup they
+    # should produce a measurably cheaper tree.
+    assert c_sbvh < c_sah * 1.001, (c_sah, c_sbvh)
+
+
+def test_upload_scene_sbvh_end_to_end(cornell):
+    import jax
+    from caitlynrenderer_tpu.core.types import RenderOptions
+    from caitlynrenderer_tpu.render import sampling
+    from caitlynrenderer_tpu.render.integrator import render_sample
+    from caitlynrenderer_tpu.scene import upload_scene
+    from caitlynrenderer_tpu.cpu_reference import integrator as oracle
+
+    scene, camera = cornell
+    ds = upload_scene(scene, accel="sbvh")
+    w = h = 24
+    options = RenderOptions(width=w, height=h, max_depth=2, accel="sbvh")
+    uniforms = np.asarray(sampling.draw_uniforms(jax.random.PRNGKey(8), w * h, 2))
+    img_o = oracle.render(scene, camera, w, h, uniforms, max_depth=2)
+    img_d = np.asarray(
+        render_sample(ds, camera, jnp.asarray(uniforms), w, h, options)
+    ).reshape(h, w, 3)
+    diff = np.abs(img_d - img_o)
+    bad = (diff > 2e-3 + 0.05 * np.abs(img_o)).any(axis=-1)
+    assert bad.mean() < 0.01
