@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--group-tris", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -57,17 +58,20 @@ def main():
         camera = make_camera(pos, np.array([5.0, 5.0, 5.0], np.float32), 45.0)
     elif args.scene == "grid100k":
         scene, _ = builtin_scenes.displaced_grid(resolution=224)
-        pos = np.array([5.0, 6.0, 18.0], np.float32)
-        camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 45.0)
+        # frame the terrain from above (realistic render framing; ~80% of
+        # primary rays hit geometry, like the reference's inside-the-box
+        # cornell camera)
+        pos = np.array([5.0, 9.0, 11.0], np.float32)
+        camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 50.0)
     elif args.scene == "grid1m":
         scene, _ = builtin_scenes.displaced_grid(resolution=708)
-        pos = np.array([5.0, 6.0, 18.0], np.float32)
-        camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 45.0)
+        pos = np.array([5.0, 9.0, 11.0], np.float32)
+        camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 50.0)
     else:
         raise SystemExit(f"unknown scene {args.scene}")
 
     t_build0 = time.perf_counter()
-    ds = upload_scene(scene, accel=args.accel)
+    ds = upload_scene(scene, accel=args.accel, wide_group_tris=args.group_tris)
     build_s = time.perf_counter() - t_build0
 
     w, h, depth = args.width, args.height, args.depth

@@ -46,20 +46,10 @@ class CWBVH(NamedTuple):
 
 
 def _subtree_info(bvh: FlatBVH):
-    n = bvh.num_nodes
-    meta = bvh.node_meta
-    leaf = bvh.is_leaf()
-    start = np.zeros(n, np.int64)
-    count = np.zeros(n, np.int64)
-    for i in range(n - 1, -1, -1):
-        if leaf[i]:
-            start[i] = meta[i, 0]
-            count[i] = meta[i, 1]
-        else:
-            l = meta[i, 0]
-            start[i] = start[l]
-            count[i] = count[l] + count[l + 1]
-    return start, count, leaf
+    from caitlynrenderer_tpu.accel.wide import _subtree_ranges
+
+    start, count = _subtree_ranges(bvh)
+    return start, count, bvh.is_leaf()
 
 
 def _collect_children(bvh: FlatBVH, node: int, count):

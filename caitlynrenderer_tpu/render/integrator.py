@@ -88,8 +88,7 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
 
         t, tri, u, v = chunked_wide_closest(
             o, d, active,
-            ds.wb_group_bounds, ds.wb_cluster_bounds,
-            ds.wb_packed_tris, ds.wb_tri_index,
+            ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
             chunk_size=options.ray_chunk,
         )
         return Hit(t, tri, u, v)
@@ -119,8 +118,7 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
 
         return chunked_wide_anyhit(
             o, d, t_max, active,
-            ds.wb_group_bounds, ds.wb_cluster_bounds,
-            ds.wb_packed_tris, ds.wb_tri_index,
+            ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
             chunk_size=options.ray_chunk,
         )
     if options.accel == "cwbvh":

@@ -30,10 +30,9 @@ class DeviceScene(NamedTuple):
     node_meta: jax.Array  # (Nn, 2) i32
     cw_nodes: jax.Array  # (N8, 20) u32
     cw_tris: jax.Array  # (T, 9) f32 — packed v0,e1,e2 in cwbvh order
-    wb_group_bounds: jax.Array  # (G, 6) f32      — wide BVH level 0
-    wb_cluster_bounds: jax.Array  # (G, M, 6) f32 — wide BVH level 1
-    wb_packed_tris: jax.Array  # (G*M, K, 9) f32  — packed leaf triangles
-    wb_tri_index: jax.Array  # (G*M, K) i32       — global tri ids, -1 pad
+    wb_group_bounds: jax.Array  # (G, 6) f32     — streaming wide BVH groups
+    wb_packed_tris: jax.Array  # (G, Kg, 9) f32  — packed group triangle blocks
+    wb_tri_index: jax.Array  # (G, Kg) i32       — global tri ids, -1 pad
     # NOTE: the leaf width used at build time is a *static* render option
     # (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
     # static; it is not stored here because NamedTuple fields are pytree
@@ -46,7 +45,7 @@ def upload_scene(
     max_leaf: int = 4,
     bvh: Optional[FlatBVH] = None,
     device=None,
-    wide_cluster_tris: int = 64,
+    wide_group_tris: int = 256,
 ) -> DeviceScene:
     """Build the acceleration structure (host pass) and move everything to
     device HBM.  `accel`: "brute" (no BVH), "bvh2"/"sbvh" (binary flat
@@ -81,7 +80,7 @@ def upload_scene(
                 np.asarray(ordered.vertices),
                 np.asarray(ordered.tri_v),
                 bvh,
-                cluster_tris=max(wide_cluster_tris, 1),
+                group_tris=max(wide_group_tris, 1),
             )
         if accel == "cwbvh":
             from caitlynrenderer_tpu.accel.cwbvh import build_cwbvh
@@ -110,7 +109,6 @@ def upload_scene(
 
         wb = WideBVH(
             group_bounds=np.zeros((0, 6), np.float32),
-            cluster_bounds=np.zeros((0, 1, 6), np.float32),
             packed_tris=np.zeros((0, 1, 9), np.float32),
             tri_index=np.zeros((0, 1), np.int32),
         )
@@ -123,7 +121,6 @@ def upload_scene(
         cw_nodes=to_dev(cw_nodes),
         cw_tris=to_dev(cw_tris),
         wb_group_bounds=to_dev(wb.group_bounds),
-        wb_cluster_bounds=to_dev(wb.cluster_bounds),
         wb_packed_tris=to_dev(wb.packed_tris),
         wb_tri_index=to_dev(wb.tri_index),
     )
