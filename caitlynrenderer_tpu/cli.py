@@ -1,0 +1,197 @@
+"""Command-line interface: render / benchmark / optimize.
+
+The framework-surface replacement for the reference's GLFW/imgui app
+(`/root/reference/Caitlyn/main.cpp`): offline progressive rendering with
+checkpoint/resume and PNG output, the benchmark harness, and the
+inverse-rendering optimizer.
+
+    python -m caitlynrenderer_tpu.cli render scene.toml -o out.png --spp 64
+    python -m caitlynrenderer_tpu.cli render scene.toml --resume ckpt.npz
+    python -m caitlynrenderer_tpu.cli optimize scene.toml --target ref.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from caitlynrenderer_tpu.render import progressive
+    from caitlynrenderer_tpu.render.tiled import render_image_tiled
+    from caitlynrenderer_tpu.scene import upload_scene
+    from caitlynrenderer_tpu.io.image import save_png
+    from caitlynrenderer_tpu.utils import checkpoint, config, metrics
+
+    cfg = config.load_config(args.config)
+    scene, translation = config.scene_from_config(cfg, os.path.dirname(args.config))
+    camera = config.camera_from_config(cfg, translation)
+    options = config.options_from_config(
+        cfg,
+        width=args.width,
+        height=args.height,
+        max_depth=args.depth,
+        accel=args.accel,
+    )
+
+    t0 = time.perf_counter()
+    ds = upload_scene(scene, accel=options.accel, max_leaf=options.max_leaf)
+    metrics.log_record(
+        "scene",
+        {
+            "triangles": scene.num_triangles,
+            "lights": scene.lights.count,
+            "materials": scene.materials.count,
+            "accel": options.accel,
+            "build_s": round(time.perf_counter() - t0, 3),
+        },
+    )
+
+    spp = args.spp or options.max_samples
+    if options.num_tiles_x * options.num_tiles_y > 1:
+        img = render_image_tiled(ds, camera, options, spp=spp, seed=args.seed)
+        save_png(args.output, img)
+        print(f"wrote {args.output} ({spp} spp, tiled)")
+        return 0
+
+    w, h = options.width, options.height
+    if args.resume and os.path.exists(args.resume):
+        state = checkpoint.load_render_state(args.resume)
+        print(f"resumed at {int(state.frame_count)} spp")
+    else:
+        state = progressive.init_state(w, h, seed=args.seed)
+
+    timer = metrics.StepTimer()
+    last_ckpt = time.time()
+    while int(state.frame_count) < spp:
+        with timer.span("step"):
+            state = progressive.render_step(ds, camera, state, w, h, options)
+            state.accum.block_until_ready()
+        timer.count("samples", 1)
+        timer.count("rays", w * h * options.max_depth * 2)
+        if args.resume and time.time() - last_ckpt > args.checkpoint_every:
+            checkpoint.save_render_state(args.resume, state)
+            last_ckpt = time.time()
+        if int(state.frame_count) % max(spp // 10, 1) == 0:
+            metrics.log_record(
+                "progress",
+                {"spp": int(state.frame_count), **timer.summary()},
+            )
+
+    if args.resume:
+        checkpoint.save_render_state(args.resume, state)
+    img = progressive.resolve(state, w, h, options)
+    save_png(args.output, np.asarray(img))
+    print(f"wrote {args.output} ({int(state.frame_count)} spp)")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    # Delegate to the repo-root harness (single JSON line contract).
+    import subprocess
+
+    cmd = [sys.executable, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")]
+    cmd += args.bench_args
+    return subprocess.call(cmd)
+
+
+def cmd_optimize(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from caitlynrenderer_tpu.grad.inverse import optimize
+    from caitlynrenderer_tpu.render import progressive, sampling
+    from caitlynrenderer_tpu.render.integrator import render_sample
+    from caitlynrenderer_tpu.scene import upload_scene
+    from caitlynrenderer_tpu.utils import checkpoint, config, metrics
+
+    cfg = config.load_config(args.config)
+    scene, translation = config.scene_from_config(cfg, os.path.dirname(args.config))
+    camera = config.camera_from_config(cfg, translation)
+    options = config.options_from_config(
+        cfg, width=args.width, height=args.height, max_depth=args.depth
+    )
+    ds = upload_scene(scene, accel=options.accel, max_leaf=options.max_leaf)
+    w, h = options.width, options.height
+
+    if args.target:
+        from caitlynrenderer_tpu.io.image import load_png
+
+        # Treat the PNG as a tonemapped display image — invert gamma to a
+        # rough radiance target (exact HDR targets come from .npz).
+        img = load_png(args.target) ** 2.2
+        target = jnp.asarray(img[::-1].reshape(-1, 3))
+    else:
+        # Self-target demo: render the ground truth, perturb, recover.
+        key = jax.random.PRNGKey(0)
+        target = jnp.zeros((w * h, 3))
+        for i in range(args.target_spp):
+            uni = sampling.draw_uniforms(jax.random.fold_in(key, i), w * h, options.max_depth)
+            target = target + render_sample(ds, camera, uni, w, h, options)
+        target = target / args.target_spp
+
+    params = {"albedo": ds.scene.materials.albedo.at[:, :3].mul(args.perturb)}
+    if args.optimize_camera:
+        params["cam_position"] = jnp.asarray(camera.position)
+
+    def cb(i, loss, p):
+        if i % 10 == 0:
+            metrics.log_record("opt", {"step": i, "loss": round(loss, 6)})
+
+    params, losses = optimize(
+        ds, camera, target, params, w, h, options,
+        steps=args.steps, lr=args.lr, seed=args.seed, callback=cb,
+    )
+    checkpoint.save_params(args.output, params)
+    print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}; wrote {args.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="caitlynrenderer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="progressive render to PNG")
+    r.add_argument("config")
+    r.add_argument("-o", "--output", default="render.png")
+    r.add_argument("--spp", type=int, default=None)
+    r.add_argument("--width", type=int, default=None)
+    r.add_argument("--height", type=int, default=None)
+    r.add_argument("--depth", type=int, default=None)
+    r.add_argument("--accel", default=None)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--resume", default=None, help="checkpoint path (save/load)")
+    r.add_argument("--checkpoint-every", type=float, default=60.0)
+    r.set_defaults(fn=cmd_render)
+
+    b = sub.add_parser("benchmark", help="run the benchmark harness")
+    b.add_argument("bench_args", nargs=argparse.REMAINDER)
+    b.set_defaults(fn=cmd_benchmark)
+
+    o = sub.add_parser("optimize", help="inverse rendering")
+    o.add_argument("config")
+    o.add_argument("-o", "--output", default="params.npz")
+    o.add_argument("--target", default=None, help="target PNG (else self-target demo)")
+    o.add_argument("--target-spp", type=int, default=8)
+    o.add_argument("--steps", type=int, default=100)
+    o.add_argument("--lr", type=float, default=2e-2)
+    o.add_argument("--perturb", type=float, default=0.5)
+    o.add_argument("--optimize-camera", action="store_true")
+    o.add_argument("--width", type=int, default=64)
+    o.add_argument("--height", type=int, default=64)
+    o.add_argument("--depth", type=int, default=None)
+    o.add_argument("--seed", type=int, default=0)
+    o.set_defaults(fn=cmd_optimize)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""Gradient correctness: finite-difference checks of the differentiable
+renderer (SURVEY.md §4.4) + inverse-rendering convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from caitlynrenderer_tpu.core.types import RenderOptions, make_camera
+from caitlynrenderer_tpu.grad.inverse import apply_params, make_loss, optimize
+from caitlynrenderer_tpu.io.builtin_scenes import cornell_box
+from caitlynrenderer_tpu.render import sampling
+from caitlynrenderer_tpu.render.integrator import render_sample
+from caitlynrenderer_tpu.scene import upload_scene
+
+
+def _setup(w=12, h=12, depth=2):
+    scene, _ = cornell_box(with_boxes=False)
+    pos = np.array([2.78, 2.73, 7.5], np.float32)
+    camera = make_camera(pos, pos + np.array([0, 0, -1.0], np.float32), 40.0)
+    ds = upload_scene(scene, accel="bvh2")
+    options = RenderOptions(width=w, height=h, max_depth=depth)
+    uniforms = sampling.draw_uniforms(jax.random.PRNGKey(3), w * h, depth)
+    return ds, camera, options, uniforms, w, h
+
+
+def _render_mean(ds, camera, options, uniforms, w, h):
+    return jnp.mean(render_sample(ds, camera, uniforms, w, h, options))
+
+
+def test_albedo_gradient_finite_difference():
+    """d(mean radiance)/d(albedo channel) vs central differences.
+
+    Albedo enters shading smoothly (no discrete decisions depend on it),
+    so AD must match FD tightly."""
+    ds, camera, options, uniforms, w, h = _setup()
+    albedo0 = ds.scene.materials.albedo
+
+    def f(albedo):
+        ds2 = ds._replace(
+            scene=ds.scene._replace(materials=ds.scene.materials._replace(albedo=albedo))
+        )
+        return _render_mean(ds2, camera, options, uniforms, w, h)
+
+    g = jax.jit(jax.grad(f))(albedo0)
+    eps = 1e-3
+    rng = np.random.default_rng(0)
+    # probe a few (material, channel) entries with nonzero gradient
+    ga = np.asarray(g)
+    entries = np.argwhere(np.abs(ga) > 1e-6)
+    assert len(entries) > 0
+    for mi, ci in entries[rng.permutation(len(entries))[:4]]:
+        e = np.zeros_like(ga)
+        e[mi, ci] = eps
+        fp = float(f(albedo0 + jnp.asarray(e)))
+        fm = float(f(albedo0 - jnp.asarray(e)))
+        fd = (fp - fm) / (2 * eps)
+        assert np.isclose(fd, ga[mi, ci], rtol=2e-2, atol=1e-6), (mi, ci, fd, ga[mi, ci])
+
+
+def test_camera_gradient_finite_difference():
+    """Camera translation gradient vs FD.  Camera motion shifts which
+    triangle each ray hits at pixel boundaries (a detached, discontinuous
+    decision), so FD and AD agree only approximately — check sign+scale."""
+    ds, camera, options, uniforms, w, h = _setup()
+    p0 = jnp.asarray(camera.position)
+
+    def f(p):
+        return _render_mean(ds, camera._replace(position=p), options, uniforms, w, h)
+
+    g = np.asarray(jax.jit(jax.grad(f))(p0))
+    assert np.isfinite(g).all()
+    eps = 1e-3
+    for axis in range(3):
+        e = np.zeros(3, np.float32)
+        e[axis] = eps
+        fd = (float(f(p0 + e)) - float(f(p0 - e))) / (2 * eps)
+        if abs(fd) > 1e-4 or abs(g[axis]) > 1e-4:
+            # within 50% or matching sign — the interior-term estimator
+            assert np.sign(fd) == np.sign(g[axis]) or abs(fd - g[axis]) < 0.5 * max(
+                abs(fd), abs(g[axis])
+            ), (axis, fd, g[axis])
+
+
+def test_vertex_gradient_exists():
+    """Geometry gradients flow (interior terms via refine_hit)."""
+    ds, camera, options, uniforms, w, h = _setup()
+    v0 = ds.scene.vertices
+
+    def f(verts):
+        ds2 = ds._replace(scene=ds.scene._replace(vertices=verts))
+        return _render_mean(ds2, camera, options, uniforms, w, h)
+
+    g = np.asarray(jax.jit(jax.grad(f))(v0))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+
+def test_inverse_rendering_recovers_albedo():
+    """Optimize a perturbed wall albedo back toward the target render."""
+    ds, camera, options, _, w, h = _setup(w=16, h=16, depth=2)
+    true_albedo = ds.scene.materials.albedo
+
+    # target: average of a few 1-spp renders with the true albedo
+    key = jax.random.PRNGKey(7)
+    target = jnp.zeros((w * h, 3))
+    for i in range(4):
+        uni = sampling.draw_uniforms(jax.random.fold_in(key, i), w * h, 2)
+        target = target + render_sample(ds, camera, uni, w, h, options)
+    target = target / 4.0
+
+    start = true_albedo.at[:, :3].mul(0.4)
+    params = {"albedo": start}
+    loss_fn = make_loss(ds, camera, target, w, h, options)
+    # Monte-Carlo noise floor: the loss with the TRUE albedo is nonzero
+    # (1-spp render vs 4-spp target); convergence means approaching it.
+    key100 = jax.random.PRNGKey(100)
+    l_truth = float(loss_fn({"albedo": true_albedo}, key100))
+    l0 = float(loss_fn(params, key100))
+    params, losses = optimize(
+        ds, camera, target, params, w, h, options, steps=40, lr=5e-2, seed=1
+    )
+    l_end = float(loss_fn(params, key100))
+    # Excess loss above the noise floor must shrink by >60%.
+    assert (l_end - l_truth) < 0.4 * (l0 - l_truth), (l0, l_end, l_truth)
+    # The dominant (white, most-observed) material recovers most of the
+    # way; the side walls cover few pixels at 16² and converge slower —
+    # asserting on them would test pixel coverage, not the gradients.
+    rec = np.asarray(params["albedo"][0, :3])
+    tru = np.asarray(true_albedo[0, :3])
+    err_start = np.abs(np.asarray(start[0, :3]) - tru).mean()
+    err_end = np.abs(rec - tru).mean()
+    assert err_end < 0.35 * err_start, (err_start, err_end)
