@@ -168,7 +168,7 @@ class RenderOptions(NamedTuple):
     hdr_multiplier: float = 1.0
     use_env_map: bool = False
     accel: str = "bvh2"  # {"brute", "bvh2", "sbvh", "wide", "cwbvh"}
-    traversal: str = "xla"  # {"xla", "pallas"}
+    traversal: str = "auto"  # {"auto", "xla", "pallas"} — Pallas MT kernel on TPU
     max_leaf: int = 4  # BVH leaf width (must match the uploaded build)
     ray_chunk: int = 8192  # traversal chunk size (coherence-sorted lax.map)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)

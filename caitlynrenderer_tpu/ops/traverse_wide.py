@@ -27,7 +27,16 @@ import jax.numpy as jnp
 from jax import lax
 
 INF = 1e9
-SLAB = 256  # triangles per broadcast slab
+SLAB = 256  # triangles per broadcast slab (XLA fallback path)
+PALLAS_TILE = 1024  # ray padding unit for the Pallas kernel
+GROUP_BATCH = 1  # groups per Pallas visit (measured: batching 4 groups
+#   per call costs more in extra triangle work than it saves in dispatch)
+
+
+def _use_pallas(flag):
+    if flag is not None:
+        return flag
+    return jax.default_backend() == "tpu"
 
 
 def _slab_test(o, d_inv, bmin, bmax, t_best):
@@ -70,12 +79,44 @@ def _mt_slab(o, d, tris, valid, t_best):
     return t_cand[n_idx, slot], slot, u[n_idx, slot], v[n_idx, slot]
 
 
-def _stream_group(o, d, g_sel, lane, packed_tris, tri_index, best):
-    """Stream group g_sel's triangle block through the chunk in SLAB-sized
-    broadcast slabs, updating `best` (dict t/tri/u/v) for masked lanes."""
+def _stream_group(o, d, g_sel, lane, packed_tris, tri_index, best, pallas_rays=None):
+    """Stream group g_sel's triangle block through the chunk, updating
+    `best` (dict t/tri/u/v) for masked lanes.
+
+    With `pallas_rays` (the pre-tiled (grid,3,8,128) layout from
+    ops/pallas_mt.tile_rays) the whole block runs as ONE fused Pallas
+    kernel call (~70 Gpairs/s measured); otherwise SLAB-sized XLA slabs."""
     g, kg, _ = packed_tris.shape
+
+    if pallas_rays is not None:
+        from caitlynrenderer_tpu.ops.pallas_mt import mt_slab_pallas_tiled
+
+        ot, dt = pallas_rays
+        if g_sel.ndim == 0:
+            g_list = [g_sel]
+        else:
+            g_list = [g_sel[i] for i in range(g_sel.shape[0])]
+        tris = jnp.concatenate(
+            [lax.dynamic_slice(packed_tris, (g, 0, 0), (1, kg, 9))[0] for g in g_list]
+        )
+        tri_row = jnp.concatenate(
+            [lax.dynamic_slice(tri_index, (g, 0), (1, kg))[0] for g in g_list]
+        )
+        # Lanes outside the mask keep their best by passing t_best = -INF
+        # (nothing can beat it), so the kernel result is a no-op for them.
+        t_in = jnp.where(lane, best["t"], -INF)
+        t_cand, slot, u, v = mt_slab_pallas_tiled(ot, dt, tris, t_in)
+        ok = lane & (slot >= 0)
+        tri = jnp.take(tri_row, jnp.maximum(slot, 0), axis=0)
+        ok = ok & (tri >= 0)
+        return dict(
+            t=jnp.where(ok, t_cand, best["t"]),
+            tri=jnp.where(ok, tri, best["tri"]),
+            u=jnp.where(ok, u, best["u"]),
+            v=jnp.where(ok, v, best["v"]),
+        )
+
     n_slabs = -(-kg // SLAB)
-    pad = n_slabs * SLAB - kg
 
     def body(s, st):
         off = s * SLAB
@@ -105,9 +146,24 @@ def _stream_group(o, d, g_sel, lane, packed_tris, tri_index, best):
     return st
 
 
-def wide_closest(o, d, active, group_bounds, packed_tris, tri_index):
+def wide_closest(o, d, active, group_bounds, packed_tris, tri_index, use_pallas=None):
     """Closest-hit query for one chunk. Returns (t, tri, u, v); tri = -1 on
     miss (global BVH-ordered triangle ids via tri_index)."""
+    if _use_pallas(use_pallas):
+        n0 = o.shape[0]
+        pad = (-n0) % PALLAS_TILE
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            active = jnp.concatenate([active, jnp.zeros(pad, bool)])
+        out = _wide_closest_impl(o, d, active, group_bounds, packed_tris, tri_index, True)
+        if pad:
+            out = tuple(x[:n0] for x in out)
+        return out
+    return _wide_closest_impl(o, d, active, group_bounds, packed_tris, tri_index, False)
+
+
+def _wide_closest_impl(o, d, active, group_bounds, packed_tris, tri_index, pallas: bool):
     n = o.shape[0]
     d_inv = 1.0 / d
     o3 = o[:, None, :]
@@ -119,18 +175,35 @@ def wide_closest(o, d, active, group_bounds, packed_tris, tri_index):
     )
     tg = jnp.where(active[:, None], tg, INF)
 
+    pallas_rays = None
+    if pallas:
+        from caitlynrenderer_tpu.ops.pallas_mt import tile_rays
+
+        pallas_rays = tile_rays(o, d)  # hoisted: loop-invariant layout
+
     def cond(s):
         return jnp.any(jnp.min(s["tg"], axis=1) < s["t"])
 
     def body(s):
         tg = s["tg"]
         pend = jnp.where(tg < s["t"][:, None], tg, INF)
-        g_sel = jnp.argmin(jnp.min(pend, axis=0))
-        lane = pend[:, g_sel] < INF
-        tg = tg.at[:, g_sel].set(INF)
+        col_min = jnp.min(pend, axis=0)
+        if pallas_rays is not None:
+            # Batch the GROUP_BATCH globally-nearest pending groups into
+            # one kernel call.  Selecting an already-exhausted column is
+            # safe: col_min == INF means no lane can ever need it again
+            # (t_best only decreases), so marking it visited is a no-op.
+            _, g_sel = lax.top_k(-col_min, min(GROUP_BATCH, col_min.shape[0]))
+            lane = jnp.any(pend[:, g_sel] < INF, axis=1)
+            tg = tg.at[:, g_sel].set(INF)
+        else:
+            g_sel = jnp.argmin(col_min)
+            lane = pend[:, g_sel] < INF
+            tg = tg.at[:, g_sel].set(INF)
         best = _stream_group(
             o, d, g_sel, lane, packed_tris, tri_index,
             {"t": s["t"], "tri": s["tri"], "u": s["u"], "v": s["v"]},
+            pallas_rays=pallas_rays,
         )
         return dict(tg=tg, **best)
 
@@ -149,9 +222,23 @@ def wide_closest(o, d, active, group_bounds, packed_tris, tri_index):
     return t, out["tri"], out["u"], out["v"]
 
 
-def wide_anyhit(o, d, t_max, active, group_bounds, packed_tris, tri_index):
+def wide_anyhit(o, d, t_max, active, group_bounds, packed_tris, tri_index, use_pallas=None):
     """Any-hit (shadow) query: occluded (N,) bool — lanes stop scanning at
     the first confirmed hit in [0, t_max)."""
+    if _use_pallas(use_pallas):
+        n0 = o.shape[0]
+        pad = (-n0) % PALLAS_TILE
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            t_max = jnp.concatenate([t_max, jnp.zeros(pad, t_max.dtype)])
+            active = jnp.concatenate([active, jnp.zeros(pad, bool)])
+        out = _wide_anyhit_impl(o, d, t_max, active, group_bounds, packed_tris, tri_index, True)
+        return out[:n0] if pad else out
+    return _wide_anyhit_impl(o, d, t_max, active, group_bounds, packed_tris, tri_index, False)
+
+
+def _wide_anyhit_impl(o, d, t_max, active, group_bounds, packed_tris, tri_index, pallas: bool):
     n = o.shape[0]
     d_inv = 1.0 / d
     o3 = o[:, None, :]
@@ -163,6 +250,12 @@ def wide_anyhit(o, d, t_max, active, group_bounds, packed_tris, tri_index):
     )
     tg = jnp.where(active[:, None], tg, INF)
 
+    pallas_rays = None
+    if pallas:
+        from caitlynrenderer_tpu.ops.pallas_mt import tile_rays
+
+        pallas_rays = tile_rays(o, d)
+
     def lane_lim(s):
         return jnp.where(s["occ"], -INF, s["lim"])
 
@@ -173,9 +266,15 @@ def wide_anyhit(o, d, t_max, active, group_bounds, packed_tris, tri_index):
         tg = s["tg"]
         lim = lane_lim(s)
         pend = jnp.where(tg < lim[:, None], tg, INF)
-        g_sel = jnp.argmin(jnp.min(pend, axis=0))
-        lane = pend[:, g_sel] < INF
-        tg = tg.at[:, g_sel].set(INF)
+        col_min = jnp.min(pend, axis=0)
+        if pallas_rays is not None:
+            _, g_sel = lax.top_k(-col_min, min(GROUP_BATCH, col_min.shape[0]))
+            lane = jnp.any(pend[:, g_sel] < INF, axis=1)
+            tg = tg.at[:, g_sel].set(INF)
+        else:
+            g_sel = jnp.argmin(col_min)
+            lane = pend[:, g_sel] < INF
+            tg = tg.at[:, g_sel].set(INF)
         best = _stream_group(
             o, d, g_sel, lane, packed_tris, tri_index,
             {
@@ -184,6 +283,7 @@ def wide_anyhit(o, d, t_max, active, group_bounds, packed_tris, tri_index):
                 "u": jnp.zeros(n, jnp.float32),
                 "v": jnp.zeros(n, jnp.float32),
             },
+            pallas_rays=pallas_rays,
         )
         occ = s["occ"] | (best["tri"] >= 0)
         return dict(tg=tg, occ=occ, lim=s["lim"])
@@ -245,14 +345,15 @@ def _sorted_chunks(o, d, active, group_bounds, chunk_size, extras=()):
 def chunked_wide_closest(
     o, d, active, group_bounds, packed_tris, tri_index,
     chunk_size: int = 8192,
+    use_pallas=None,
 ):
     """Closest-hit in coherence-sorted fixed-size chunks via `lax.map`."""
     if o.shape[0] <= chunk_size:
-        return wide_closest(o, d, active, group_bounds, packed_tris, tri_index)
+        return wide_closest(o, d, active, group_bounds, packed_tris, tri_index, use_pallas)
     (oc, dc, ac), inv_perm, n = _sorted_chunks(o, d, active, group_bounds, chunk_size)
 
     def body(args):
-        return wide_closest(*args, group_bounds, packed_tris, tri_index)
+        return wide_closest(*args, group_bounds, packed_tris, tri_index, use_pallas)
 
     t, tri, u, v = jax.lax.map(body, (oc, dc, ac))
     flat = lambda x: x.reshape(-1)[:n][inv_perm]
@@ -262,17 +363,18 @@ def chunked_wide_closest(
 def chunked_wide_anyhit(
     o, d, t_max, active, group_bounds, packed_tris, tri_index,
     chunk_size: int = 8192,
+    use_pallas=None,
 ):
     """Any-hit twin of `chunked_wide_closest`."""
     if o.shape[0] <= chunk_size:
-        return wide_anyhit(o, d, t_max, active, group_bounds, packed_tris, tri_index)
+        return wide_anyhit(o, d, t_max, active, group_bounds, packed_tris, tri_index, use_pallas)
     (oc, dc, ac, tc), inv_perm, n = _sorted_chunks(
         o, d, active, group_bounds, chunk_size, extras=((t_max, 0.0),)
     )
 
     def body(args):
         ocx, dcx, acx, tcx = args
-        return wide_anyhit(ocx, dcx, tcx, acx, group_bounds, packed_tris, tri_index)
+        return wide_anyhit(ocx, dcx, tcx, acx, group_bounds, packed_tris, tri_index, use_pallas)
 
     occ = jax.lax.map(body, (oc, dc, ac, tc))
     return occ.reshape(-1)[:n][inv_perm]

@@ -51,6 +51,16 @@ _SPECULAR_IDS = tuple(int(t) for t in SPECULAR_TYPES)
 _LAMBERT_IDS = tuple(int(t) for t in LAMBERT_TYPES)
 
 
+def _pallas_flag(options: RenderOptions):
+    """traversal option → Pallas kernel use: "pallas" forces on, "xla"
+    forces off, "auto" (default) enables on TPU backends."""
+    if options.traversal == "pallas":
+        return True
+    if options.traversal == "xla":
+        return False
+    return None  # auto: backend-dependent
+
+
 class Hit(NamedTuple):
     t: jax.Array
     tri: jax.Array
@@ -90,6 +100,7 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
             o, d, active,
             ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
             chunk_size=options.ray_chunk,
+            use_pallas=_pallas_flag(options),
         )
         return Hit(t, tri, u, v)
     if options.accel == "cwbvh":
@@ -120,6 +131,7 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
             o, d, t_max, active,
             ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
             chunk_size=options.ray_chunk,
+            use_pallas=_pallas_flag(options),
         )
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit
