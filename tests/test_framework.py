@@ -105,19 +105,19 @@ def test_cli_render_smoke(tmp_path):
         [
             sys.executable, "-m", "caitlynrenderer_tpu.cli", "render",
             os.path.join(REPO, "scenes", "cornell.toml"),
-            "-o", out, "--spp", "2", "--width", "16", "--height", "16",
+            "-o", out, "--spp", "2", "--width", "8", "--height", "8", "--depth", "1",
             "--accel", "bvh2",
         ],
         cwd=REPO,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
     from caitlynrenderer_tpu.io.image import load_png
 
     img = load_png(out)
-    assert img.shape == (16, 16, 3)
+    assert img.shape == (8, 8, 3)
     assert img.max() > 0
