@@ -46,7 +46,7 @@ def main():
     from caitlynrenderer_tpu.render import sampling
     from caitlynrenderer_tpu.render.integrator import render_sample, trace_paths
     from caitlynrenderer_tpu.core.camera import generate_rays
-    from caitlynrenderer_tpu.scene import upload_scene
+    from caitlynrenderer_tpu.scene import scene_families, upload_scene
 
     if args.scene == "cornell":
         scene, _ = builtin_scenes.cornell_box()
@@ -75,7 +75,10 @@ def main():
     build_s = time.perf_counter() - t_build0
 
     w, h, depth = args.width, args.height, args.depth
-    options = RenderOptions(width=w, height=h, max_depth=depth, accel=args.accel)
+    options = RenderOptions(
+        width=w, height=h, max_depth=depth, accel=args.accel,
+        families=scene_families(scene),
+    )
     n = w * h
 
     # Count actual ray queries once (instrumented pass).
@@ -92,18 +95,21 @@ def main():
     rays_per_sample = int(stats["rays_closest"]) + int(stats["rays_anyhit"])
 
     # Timed render steps (sample index varies per step like the real loop).
+    # Accumulation happens INSIDE the jitted step, exactly like the
+    # production progressive loop (render/progressive.py) — an eager
+    # device add between steps would serialize on host dispatch latency.
     step = jax.jit(
-        lambda uni: render_sample(ds, camera, uni, w, h, options)
+        lambda acc, uni: acc + render_sample(ds, camera, uni, w, h, options)
     )
     keys = [jax.random.fold_in(key, i) for i in range(args.warmup + args.steps)]
     unis = [sampling.draw_uniforms(k, n, depth) for k in keys]
+    acc = jnp.zeros((n, 3), jnp.float32)
     for i in range(args.warmup):
-        step(unis[i]).block_until_ready()
+        acc = step(acc, unis[i])
+    acc.block_until_ready()
     t0 = time.perf_counter()
-    acc = None
     for i in range(args.warmup, args.warmup + args.steps):
-        out = step(unis[i])
-        acc = out if acc is None else acc + out
+        acc = step(acc, unis[i])
     acc.block_until_ready()
     elapsed = time.perf_counter() - t0
 

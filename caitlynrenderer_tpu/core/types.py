@@ -173,6 +173,11 @@ class RenderOptions(NamedTuple):
     ray_chunk: int = 8192  # traversal chunk size (coherence-sorted lax.map)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)
     exact_reference_nee: bool = False  # reproduce reference NEE estimator
+    # Material families present in the scene (static, so jit traces only the
+    # shading code the scene needs — a pure-Lambert scene skips the Disney /
+    # glass / mirror lobes entirely).  Compute with `scene.scene_families`;
+    # the default traces everything (always correct, just slower).
+    families: tuple = ("lambert", "disney", "mirror", "glass")
     # (the reference omits the cos/pi factor in its NEE term,
     #  `path_trace.fs:988-998`; default is the physically correct estimator)
 

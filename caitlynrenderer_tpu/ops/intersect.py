@@ -70,6 +70,17 @@ def intersect_leaf_triangles(o, d, tri_idx, valid, verts, tri_v, best):
     }
 
 
+def pack_tris(verts, tri_v):
+    """(T, 9) packed v0,e1,e2 rows — the dense layout consumed by the
+    Pallas MT kernels.  Pure jnp so it stays live under jit (vertex
+    updates/gradient flows recompute it; XLA CSEs it across the queries
+    of one traced frame)."""
+    v0 = verts[tri_v[:, 0]]
+    e1 = verts[tri_v[:, 1]] - v0
+    e2 = verts[tri_v[:, 2]] - v0
+    return jnp.concatenate([v0, e1, e2], axis=1)
+
+
 def intersect_brute(o, d, verts, tri_v, t_max=INF):
     """Closest-hit by brute force over all triangles (used for tiny scenes
     and as the traversal oracle in tests).
@@ -107,6 +118,20 @@ def occluded_brute(o, d, t_max, verts, tri_v):
         o[:, None, :], d[:, None, :], v0[None], e1[None], e2[None], t_max[:, None]
     )
     return hit.any(axis=1)
+
+
+def refine_hit_tri(o, d, v0, e1, e2):
+    """Differentiable Möller–Trumbore (t, u, v) given per-ray triangle data
+    (v0, e1, e2 already gathered — e.g. from the fused shading table)."""
+    pv = jnp.cross(d, e2)
+    det = cm.dot(e1, pv)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    tv = o - v0
+    qv = jnp.cross(tv, e1)
+    u = cm.dot(tv, pv) * inv_det
+    v = cm.dot(d, qv) * inv_det
+    t = cm.dot(e2, qv) * inv_det
+    return t, u, v
 
 
 def refine_hit(o, d, tri, verts, tri_v):

@@ -140,3 +140,39 @@ def mt_slab_pallas(o, d, tris, t_best):
     the expensive part)."""
     ot, dt = tile_rays(o, d)
     return mt_slab_pallas_tiled(ot, dt, tris, t_best)
+
+
+def _pad_rays(o, d):
+    n0 = o.shape[0]
+    pad = (-n0) % TILE
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+    return o, d, n0
+
+
+def brute_closest_pallas(o, d, active, tris9, t_max=INF):
+    """Closest hit over ALL triangles as one dense Pallas sweep — the fast
+    path for small scenes (no grouping/sorting machinery).  tris9: (T, 9)
+    packed v0,e1,e2 in *scene* triangle order.  Returns (t, tri, u, v)."""
+    o, d, n0 = _pad_rays(o, d)
+    t_in = jnp.full(o.shape[0], -INF, jnp.float32)
+    t_in = t_in.at[:n0].set(jnp.where(active, t_max, -INF))
+    t, slot, u, v = mt_slab_pallas(o, d, tris9, t_in)
+    t, slot, u, v = t[:n0], slot[:n0], u[:n0], v[:n0]
+    miss = slot < 0
+    return (
+        jnp.where(miss, INF, t),
+        jnp.where(miss, -1, slot).astype(jnp.int32),
+        u,
+        v,
+    )
+
+
+def brute_anyhit_pallas(o, d, t_max, active, tris9):
+    """Any-hit twin of `brute_closest_pallas`: occluded (N,) bool."""
+    o, d, n0 = _pad_rays(o, d)
+    t_in = jnp.full(o.shape[0], -INF, jnp.float32)
+    t_in = t_in.at[:n0].set(jnp.where(active, t_max, -INF))
+    _, slot, _, _ = mt_slab_pallas(o, d, tris9, t_in)
+    return (slot[:n0] >= 0) & active

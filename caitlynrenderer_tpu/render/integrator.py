@@ -90,6 +90,15 @@ def _closest_hit(ds: DeviceScene, o, d, active, options: RenderOptions) -> Hit:
 def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> Hit:
     sc = ds.scene
     if options.accel == "brute":
+        use_pallas = _pallas_flag(options)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from caitlynrenderer_tpu.ops.pallas_mt import brute_closest_pallas
+
+            tris9 = isect.pack_tris(sc.vertices, sc.tri_v)
+            t, tri, u, v = brute_closest_pallas(o, d, active, tris9)
+            return Hit(t, tri, u, v)
         t, tri, u, v = isect.intersect_brute(o, d, sc.vertices, sc.tri_v)
         tri = jnp.where(active, tri, -1)
         return Hit(t, tri, u, v)
@@ -122,6 +131,14 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
     ds, o, d, t_max = jax.lax.stop_gradient((ds, o, d, t_max))
     sc = ds.scene
     if options.accel == "brute":
+        use_pallas = _pallas_flag(options)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from caitlynrenderer_tpu.ops.pallas_mt import brute_anyhit_pallas
+
+            tris9 = isect.pack_tris(sc.vertices, sc.tri_v)
+            return brute_anyhit_pallas(o, d, t_max, active, tris9)
         occ = isect.occluded_brute(o, d, jnp.where(active, t_max, 0.0), sc.vertices, sc.tri_v)
         return occ & active
     if options.accel == "wide":
@@ -188,6 +205,82 @@ def _power_heuristic(a, b):
     return t / jnp.maximum(b * b + t, 1e-20)
 
 
+# ---------------------------------------------------------------------------
+# Fused shading table (small scenes): ALL per-triangle data the shader needs
+# — geometry, normals, texcoords, light id, and the joined material row —
+# concatenated into ONE (T, 50) f32 table so each bounce fetches everything
+# with a single one-hot MXU matmul (core/math.py gather_rows).  XLA lowers
+# per-field gathers to scalar loops (~3 ms each on TPU); this is the
+# TPU-native replacement.  Fully differentiable w.r.t. vertices/materials.
+#
+# Column map:
+#   0:3 p0 | 3:6 e1 | 6:9 e2 | 9:12 n0 | 12:15 n1 | 15:18 n2 | 18 n-interp
+#   19:21 t0 | 21:23 t1 | 23:25 t2 | 25 light idx
+#   26:30 albedo(rgb+type) | 30:34 emission(rgb+flag) | 34:38 specular(rgb+ior)
+#   38:42 disney | 42:46 disney2 | 46:50 tex_ind
+# ---------------------------------------------------------------------------
+
+
+def _build_shade_table(sc):
+    t = sc.tri_v.shape[0]
+    tv = sc.tri_v
+    p0 = sc.vertices[tv[:, 0]]
+    e1 = sc.vertices[tv[:, 1]] - p0
+    e2 = sc.vertices[tv[:, 2]] - p0
+    if sc.normals.shape[0] > 0:
+        nid = jnp.clip(sc.tri_vn[:, :3], 0, sc.normals.shape[0] - 1)
+        n0 = sc.normals[nid[:, 0]]
+        n1 = sc.normals[nid[:, 1]]
+        n2 = sc.normals[nid[:, 2]]
+        nflag = (sc.tri_vn[:, 3] == 1).astype(jnp.float32)[:, None]
+    else:
+        n0 = n1 = n2 = jnp.zeros((t, 3), jnp.float32)
+        nflag = jnp.zeros((t, 1), jnp.float32)
+    if sc.texcoords.shape[0] > 0:
+        tid = jnp.clip(sc.tri_vt[:, :3], 0, sc.texcoords.shape[0] - 1)
+        t0 = sc.texcoords[tid[:, 0]]
+        t1 = sc.texcoords[tid[:, 1]]
+        t2 = sc.texcoords[tid[:, 2]]
+    else:
+        t0 = t1 = t2 = jnp.zeros((t, 2), jnp.float32)
+    light_idx = sc.tri_vt[:, 3].astype(jnp.float32)[:, None]
+    m = sc.materials
+    mat_tab = jnp.concatenate(
+        [m.albedo, m.emission, m.specular, m.disney, m.disney2, m.tex_ind], axis=1
+    )
+    mrows = mat_tab[tv[:, 3]]  # (T, 24): tiny output, native gather is fine
+    return jnp.concatenate(
+        [p0, e1, e2, n0, n1, n2, nflag, t0, t1, t2, light_idx, mrows], axis=1
+    )
+
+
+def _build_light_table(lights):
+    """(L, 17) f32: p | u | v | n | e | area | selection pdf."""
+    return jnp.concatenate(
+        [lights.p, lights.u, lights.v, lights.n, lights.e, lights.area_pdf], axis=1
+    )
+
+
+def _shading_normal_from_rows(rows, e1, e2, u, v):
+    geo_n = cm.normalize(jnp.cross(e1, e2))
+    interp = cm.normalize(
+        cm.interpolate(rows[:, 9:12], rows[:, 12:15], rows[:, 15:18], u, v)
+    )
+    return jnp.where((rows[:, 18] > 0.5)[:, None], interp, geo_n)
+
+
+def _albedo_from_rows(sc, rows, u, v):
+    base = rows[:, 26:29]
+    if sc.textures is None or sc.texcoords.shape[0] == 0:
+        return base
+    layer_f = rows[:, 46]
+    uv = cm.interpolate(rows[:, 19:21], rows[:, 21:23], rows[:, 23:25], u, v)
+    sampled = tex.sample_bilinear(
+        sc.textures, jnp.round(layer_f).astype(jnp.int32), uv
+    )
+    return jnp.where((layer_f >= 0)[:, None], sampled, base)
+
+
 def trace_paths(
     ds: DeviceScene,
     o,
@@ -211,11 +304,25 @@ def trace_paths(
     mats = sc.materials
     num_lights = sc.lights.p.shape[0]
 
+    # Static shading specialization: only trace the lobes the scene uses
+    # (options.families from scene.scene_families; default = everything).
+    has_disney = "disney" in options.families
+    has_mirror = "mirror" in options.families
+    has_glass = "glass" in options.families
+    has_spec = has_mirror or has_glass
+
     L = jnp.zeros((n, 3), jnp.float32)
     T = jnp.ones((n, 3), jnp.float32)
     prev_pdf = jnp.ones(n, jnp.float32)
     is_specular = jnp.ones(n, bool)
     alive = jnp.ones(n, bool)
+
+    # Small scenes: fetch ALL shading data per bounce with one fused
+    # one-hot matmul over the combined table (loop-invariant, built once).
+    fused = 0 < sc.tri_v.shape[0] <= cm.ONEHOT_MAX_ROWS
+    if fused:
+        shade_tab = _build_shade_table(sc)
+    light_tab = _build_light_table(sc.lights) if num_lights > 0 else None
 
     for bounce in range(options.max_depth):
         base = 4 + 6 * bounce
@@ -227,26 +334,57 @@ def trace_paths(
         u_lobe = uniforms[:, base + 5]
 
         n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
-        hit = _closest_hit(ds, o, d, alive, options)
+        if fused:
+            raw = _closest_hit_raw(
+                *jax.lax.stop_gradient((ds, o, d)), alive, options
+            )
+            raw = jax.lax.stop_gradient(raw)
+            tri_safe = jnp.maximum(raw.tri, 0)
+            rows = cm.gather_rows(shade_tab, tri_safe)
+            # Differentiable refinement from the table's (p0, e1, e2).
+            t_r, u_r, v_r = isect.refine_hit_tri(
+                o, d, rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+            )
+            keep = raw.tri >= 0
+            hit = Hit(
+                t=jnp.where(keep, t_r, raw.t),
+                tri=raw.tri,
+                u=jnp.where(keep, u_r, raw.u),
+                v=jnp.where(keep, v_r, raw.v),
+            )
+        else:
+            hit = _closest_hit(ds, o, d, alive, options)
+            tri_safe = jnp.maximum(hit.tri, 0)
         got = alive & (hit.tri >= 0)
         alive = got
 
-        tri_safe = jnp.maximum(hit.tri, 0)
-        mtl = sc.tri_v[tri_safe, 3]
-        n_shade = _shading_normal(ds, tri_safe, hit.u, hit.v)
+        if fused:
+            n_shade = _shading_normal_from_rows(
+                rows, rows[:, 3:6], rows[:, 6:9], hit.u, hit.v
+            )
+            albedo = _albedo_from_rows(sc, rows, hit.u, hit.v)
+            mat_type = jnp.round(rows[:, 29]).astype(jnp.int32)
+            emission = rows[:, 30:33]
+            emissive = rows[:, 33] != -1
+            li_hit = jnp.round(rows[:, 25]).astype(jnp.int32)
+            ior_row = rows[:, 37]
+        else:
+            mtl = sc.tri_v[tri_safe, 3]
+            n_shade = _shading_normal(ds, tri_safe, hit.u, hit.v)
+            albedo = _albedo(ds, mtl, tri_safe, hit.u, hit.v)
+            mat_type = mats.albedo[mtl, 3].astype(jnp.int32)
+            emission = mats.emission[mtl, :3]
+            emissive = mats.emission[mtl, 3] != -1
+            li_hit = sc.tri_vt[tri_safe, 3]
+            ior_row = mats.specular[mtl, 3]
         cos_incident = cm.dot(d, n_shade)
         n_flip = jnp.where((cos_incident > 0)[:, None], -n_shade, n_shade)
-
-        albedo = _albedo(ds, mtl, tri_safe, hit.u, hit.v)
-        mat_type = mats.albedo[mtl, 3].astype(jnp.int32)
-        emission = mats.emission[mtl, :3]
-        emissive = mats.emission[mtl, 3] != -1
 
         # --- emissive hit (path_trace.fs:894-928)
         hit_light = got & emissive
         if num_lights > 0:
-            li = jnp.clip(sc.tri_vt[tri_safe, 3], 0, num_lights - 1)
-            area = sc.lights.area_pdf[li, 0]
+            li = jnp.clip(li_hit, 0, num_lights - 1)
+            area = cm.gather_rows(light_tab, li)[:, 15]
             cos_light = -cm.dot(d, n_flip)
             pdf_select = 1.0 / num_lights
             pdf_light = (
@@ -261,14 +399,32 @@ def trace_paths(
         hit_point = o + d * hit.t[:, None] + n_flip * RAY_OFFSET
 
         type_is = lambda ids: jnp.isin(mat_type, jnp.asarray(ids, jnp.int32))
-        is_spec_mat = type_is(_SPECULAR_IDS)
+        false_ = jnp.zeros(n, bool)
+        is_spec_mat = type_is(_SPECULAR_IDS) if has_spec else false_
         # Everything that is neither Lambert-diffuse nor a delta lobe goes
         # through the Disney BRDF with per-material parameters (the rough /
         # plastic / conductor / coat families map onto Disney parameters at
         # parse time — io/obj.py `_apply_type_defaults`).
-        is_lambert = type_is(_LAMBERT_IDS)
-        is_disney = ~is_spec_mat & ~is_lambert
-        dis_p = bsdf.params_from_materials(mats, mtl, albedo)
+        if has_disney:
+            is_lambert = type_is(_LAMBERT_IDS)
+            is_disney = ~is_spec_mat & ~is_lambert
+            if fused:
+                dis_p = bsdf.DisneyParams(
+                    base_color=albedo,
+                    roughness=jnp.clip(rows[:, 38], 0.02, 1.0),
+                    metallic=rows[:, 39],
+                    spec_tint=rows[:, 40],
+                    sheen=rows[:, 41],
+                    clearcoat=rows[:, 42],
+                    clearcoat_gloss=rows[:, 43],
+                    subsurface=rows[:, 44],
+                    ior=jnp.maximum(ior_row, 1.01),
+                )
+            else:
+                dis_p = bsdf.params_from_materials(mats, mtl, albedo)
+        else:
+            is_disney = false_
+            dis_p = None
         view = -d  # toward viewer
 
         # --- NEE with MIS (path_trace.fs:938-1002)
@@ -277,38 +433,42 @@ def trace_paths(
             s = jnp.sqrt(u_l1)
             b0 = 1.0 - s
             b1 = u_l2 * s
-            lt = sc.lights
-            lpos = lt.p[li] + b0[:, None] * lt.u[li] + b1[:, None] * lt.v[li]
+            lrows = cm.gather_rows(light_tab, li)
+            lpos = lrows[:, 0:3] + b0[:, None] * lrows[:, 3:6] + b1[:, None] * lrows[:, 6:9]
             ldir = lpos - hit_point
             dist = cm.norm(ldir)
             ldir = ldir / jnp.maximum(dist[:, None], 1e-20)
             cos_mtl = cm.dot(ldir, n_flip)
-            cos_light = cm.dot(ldir, lt.n[li])
+            cos_light = cm.dot(ldir, lrows[:, 9:12])
             cand = alive & ~is_spec_mat & (cos_mtl > 0) & (cos_light < 0)
             n_anyhit = n_anyhit + jnp.sum(cand.astype(jnp.int32))
             shadowed = _occluded(
                 ds, hit_point, ldir, jnp.where(cand, dist - EPS, 0.0), cand, options
             )
             visible = cand & ~shadowed
-            area = lt.area_pdf[li, 0]
+            area = lrows[:, 15]
             pdf_select = 1.0 / num_lights
             pdf_light = (
                 dist * dist
                 / jnp.maximum(area * jnp.maximum(-cos_light, 1e-8), 1e-20)
                 * pdf_select
             )
-            le = lt.e[li]
+            le = lrows[:, 12:15]
             # BSDF value toward the light (cos-premultiplied) + its pdf,
             # per material family.
-            f_dis, pdf_dis = bsdf.eval_pdf(dis_p, n_flip, view, ldir)
             cos_pos = jnp.maximum(cos_mtl, 0.0)
             if options.exact_reference_nee:
                 f_lam = albedo  # reference estimator (path_trace.fs:988-998)
             else:
                 f_lam = albedo * (cos_pos / jnp.pi)[:, None]
             pdf_lam = cos_pos / jnp.pi
-            f_nee = jnp.where(is_disney[:, None], f_dis, f_lam)
-            bsdf_pdf = jnp.where(is_disney, pdf_dis, pdf_lam)
+            if has_disney:
+                f_dis, pdf_dis = bsdf.eval_pdf(dis_p, n_flip, view, ldir)
+                f_nee = jnp.where(is_disney[:, None], f_dis, f_lam)
+                bsdf_pdf = jnp.where(is_disney, pdf_dis, pdf_lam)
+            else:
+                f_nee = f_lam
+                bsdf_pdf = pdf_lam
             w_mis = _power_heuristic(pdf_light, bsdf_pdf)
             contrib = T * le * f_nee * (
                 w_mis / jnp.maximum(pdf_light, 1e-20)
@@ -320,44 +480,52 @@ def trace_paths(
         diff_dir = cm.local_to_world(local, n_flip)
         diff_pdf = jnp.maximum(local[:, 2], 1e-8) / jnp.pi
 
-        dis_dir, dis_f, dis_pdf = bsdf.sample(dis_p, n_flip, view, u_lobe, u_b1, u_b2)
-        dis_ok = dis_pdf > 1e-9
-        dis_T = T * jnp.where(
-            dis_ok[:, None], dis_f / jnp.maximum(dis_pdf, 1e-9)[:, None], 0.0
-        )
-
-        refl_dir = cm.reflect(d, n_flip)
-
-        new_d = jnp.where(is_disney[:, None], dis_dir, diff_dir)
-        new_T = jnp.where(is_disney[:, None], dis_T, T * albedo)
-        new_pdf = jnp.where(is_disney, jnp.maximum(dis_pdf, 1e-9), diff_pdf)
-        alive = alive & jnp.where(is_disney, dis_ok, True)
+        if has_disney:
+            dis_dir, dis_f, dis_pdf = bsdf.sample(dis_p, n_flip, view, u_lobe, u_b1, u_b2)
+            dis_ok = dis_pdf > 1e-9
+            dis_T = T * jnp.where(
+                dis_ok[:, None], dis_f / jnp.maximum(dis_pdf, 1e-9)[:, None], 0.0
+            )
+            new_d = jnp.where(is_disney[:, None], dis_dir, diff_dir)
+            new_T = jnp.where(is_disney[:, None], dis_T, T * albedo)
+            new_pdf = jnp.where(is_disney, jnp.maximum(dis_pdf, 1e-9), diff_pdf)
+            alive = alive & jnp.where(is_disney, dis_ok, True)
+        else:
+            new_d = diff_dir
+            new_T = T * albedo
+            new_pdf = diff_pdf
         new_spec = jnp.zeros(n, bool)
 
-        mirror = mat_type == int(MaterialType.MIRROR)
-        new_d = jnp.where(mirror[:, None], refl_dir, new_d)
-        new_pdf = jnp.where(mirror, 1.0, new_pdf)
-        new_spec = new_spec | mirror
+        if has_mirror:
+            refl_dir = cm.reflect(d, n_flip)
+            mirror = mat_type == int(MaterialType.MIRROR)
+            new_d = jnp.where(mirror[:, None], refl_dir, new_d)
+            new_pdf = jnp.where(mirror, 1.0, new_pdf)
+            new_spec = new_spec | mirror
 
-        glass = type_is(_GLASS_IDS)
-        ior = mats.specular[mtl, 3]
-        entering = cos_incident <= 0
-        eta = jnp.where(entering, 1.0 / jnp.maximum(ior, 1e-6), ior)
-        ci = jnp.abs(cm.dot(d, n_flip))
-        sin2_t = eta * eta * jnp.maximum(1.0 - ci * ci, 0.0)
-        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-        r_par = (ci - eta * cos_t) / jnp.maximum(ci + eta * cos_t, 1e-12)
-        r_perp = (eta * ci - cos_t) / jnp.maximum(eta * ci + cos_t, 1e-12)
-        fres = jnp.where(sin2_t >= 1.0, 1.0, 0.5 * (r_par**2 + r_perp**2))
-        refr_dir = cm.normalize(eta[:, None] * d + (eta * ci - cos_t)[:, None] * n_flip)
-        choose_refl = (u_lobe < fres) | (sin2_t >= 1.0)
-        gdir = jnp.where(choose_refl[:, None], refl_dir, refr_dir)
-        new_d = jnp.where(glass[:, None], gdir, new_d)
-        new_pdf = jnp.where(glass, 1.0, new_pdf)
-        new_spec = new_spec | glass
-        hit_point = hit_point + jnp.where(
-            (glass & ~choose_refl)[:, None], -2.0 * RAY_OFFSET * n_flip, 0.0
-        )
+        if has_glass:
+            refl_dir = cm.reflect(d, n_flip)
+            glass = type_is(_GLASS_IDS)
+            ior = ior_row
+            entering = cos_incident <= 0
+            eta = jnp.where(entering, 1.0 / jnp.maximum(ior, 1e-6), ior)
+            ci = jnp.abs(cm.dot(d, n_flip))
+            sin2_t = eta * eta * jnp.maximum(1.0 - ci * ci, 0.0)
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+            r_par = (ci - eta * cos_t) / jnp.maximum(ci + eta * cos_t, 1e-12)
+            r_perp = (eta * ci - cos_t) / jnp.maximum(eta * ci + cos_t, 1e-12)
+            fres = jnp.where(sin2_t >= 1.0, 1.0, 0.5 * (r_par**2 + r_perp**2))
+            refr_dir = cm.normalize(
+                eta[:, None] * d + (eta * ci - cos_t)[:, None] * n_flip
+            )
+            choose_refl = (u_lobe < fres) | (sin2_t >= 1.0)
+            gdir = jnp.where(choose_refl[:, None], refl_dir, refr_dir)
+            new_d = jnp.where(glass[:, None], gdir, new_d)
+            new_pdf = jnp.where(glass, 1.0, new_pdf)
+            new_spec = new_spec | glass
+            hit_point = hit_point + jnp.where(
+                (glass & ~choose_refl)[:, None], -2.0 * RAY_OFFSET * n_flip, 0.0
+            )
 
         o = hit_point
         d = cm.normalize(new_d)

@@ -39,6 +39,38 @@ class DeviceScene(NamedTuple):
     # leaves and would be traced.
 
 
+def scene_families(scene_np: SceneArrays) -> tuple:
+    """Classify which shading families the scene's materials actually use,
+    for RenderOptions.families (static jit specialization — the integrator
+    only traces the lobes the scene needs).
+
+    Families: "lambert" (diffuse), "mirror" (delta reflection), "glass"
+    (delta dielectric), "disney" (everything microfacet)."""
+    from caitlynrenderer_tpu.core.types import LAMBERT_TYPES, MaterialType
+
+    types = set(int(t) for t in np.asarray(scene_np.materials.albedo[:, 3]))
+    lambert_ids = {int(t) for t in LAMBERT_TYPES}
+    glass_ids = {
+        int(MaterialType.GLASS),
+        int(MaterialType.GLASS_COLOR),
+        int(MaterialType.GLASS_NO_REFRACT),
+        int(MaterialType.ROUGH_DIELECTRIC),
+        int(MaterialType.THIN_DIELECTRIC),
+        int(MaterialType.THIN_SHEET),
+    }
+    mirror_ids = {int(MaterialType.MIRROR), int(MaterialType.CONDUCTOR)}
+    fams = []
+    if types & lambert_ids:
+        fams.append("lambert")
+    if types - lambert_ids - glass_ids - mirror_ids:
+        fams.append("disney")
+    if types & mirror_ids:
+        fams.append("mirror")
+    if types & glass_ids:
+        fams.append("glass")
+    return tuple(fams) if fams else ("lambert",)
+
+
 def upload_scene(
     scene_np: SceneArrays,
     accel: str = "bvh2",
@@ -51,6 +83,8 @@ def upload_scene(
     device HBM.  `accel`: "brute" (no BVH), "bvh2"/"sbvh" (binary flat
     BVH), "wide" (super-wide two-level, the TPU production path — see
     accel/wide.py) or "cwbvh" (reference-format 8-wide compressed)."""
+    if accel not in ("brute", "bvh2", "sbvh", "wide", "cwbvh"):
+        raise ValueError(f"unknown accel {accel!r} (expected brute/bvh2/sbvh/wide/cwbvh)")
     cw_nodes = np.zeros((0, 20), np.uint32)
     cw_tris = np.zeros((0, 9), np.float32)
     wb = None
