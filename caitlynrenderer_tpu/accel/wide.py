@@ -103,7 +103,7 @@ def build_wide(
     tri_v: np.ndarray,
     bvh: FlatBVH,
     group_tris: int = 256,
-    max_g: int = 1024,
+    max_g: int = 65536,
 ) -> WideBVH:
     """Build the streaming wide BVH from an existing binary SAH tree.
 

@@ -103,6 +103,22 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
         tri = jnp.where(active, tri, -1)
         return Hit(t, tri, u, v)
     if options.accel == "wide":
+        if options.wide_algo == "mega":
+            from caitlynrenderer_tpu.ops.traverse_mega import mega_closest
+
+            t, tri, u, v = mega_closest(
+                o, d, active, ds.wb_group_bounds, ds.wb_mega
+            )
+            return Hit(t, tri, u, v)
+        if options.wide_algo == "stream":
+            from caitlynrenderer_tpu.ops.traverse_stream import stream_closest
+
+            t, tri, u, v = stream_closest(
+                o, d, active,
+                ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
+                k=options.stream_k,
+            )
+            return Hit(t, tri, u, v)
         from caitlynrenderer_tpu.ops.traverse_wide import chunked_wide_closest
 
         t, tri, u, v = chunked_wide_closest(
@@ -142,6 +158,20 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
         occ = isect.occluded_brute(o, d, jnp.where(active, t_max, 0.0), sc.vertices, sc.tri_v)
         return occ & active
     if options.accel == "wide":
+        if options.wide_algo == "mega":
+            from caitlynrenderer_tpu.ops.traverse_mega import mega_anyhit
+
+            return mega_anyhit(
+                o, d, t_max, active, ds.wb_group_bounds, ds.wb_mega
+            )
+        if options.wide_algo == "stream":
+            from caitlynrenderer_tpu.ops.traverse_stream import stream_anyhit
+
+            return stream_anyhit(
+                o, d, t_max, active,
+                ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
+                k=options.stream_k,
+            )
         from caitlynrenderer_tpu.ops.traverse_wide import chunked_wide_anyhit
 
         return chunked_wide_anyhit(
