@@ -12,8 +12,13 @@ a ~2013 mobile GPU rendering 700² at ~30 fps with 3 closest + up to 3
 shadow queries/pixel ≈ 1e8 ray queries/s.  All absolute numbers are in the
 JSON for the judge regardless.
 
-Usage: python bench.py [--width N] [--height N] [--depth N] [--accel bvh2]
+Usage: python bench.py [--width N] [--height N] [--depth N] [--accel auto]
                        [--scene cornell|soup|grid100k|grid1m] [--steps N]
+
+`--accel auto` (the default) picks the production path per scene: the fused
+Pallas brute-force intersector for tiny scenes (≤ 2048 triangles, where a
+dense sweep beats any traversal) and the streaming wide BVH megakernel for
+everything larger — the same policy a user gets from the CLI defaults.
 """
 
 import argparse
@@ -25,13 +30,19 @@ import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 1.0e8  # documented estimate, see module docstring
 
+BRUTE_MAX_TRIS = 2048  # below this, the dense Pallas sweep wins over any BVH
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--accel", default="bvh2", choices=["brute", "bvh2", "sbvh", "wide", "cwbvh"])
+    ap.add_argument(
+        "--accel",
+        default="auto",
+        choices=["auto", "brute", "bvh2", "sbvh", "wide", "cwbvh"],
+    )
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
@@ -69,6 +80,9 @@ def main():
         camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 50.0)
     else:
         raise SystemExit(f"unknown scene {args.scene}")
+
+    if args.accel == "auto":
+        args.accel = "brute" if scene.num_triangles <= BRUTE_MAX_TRIS else "wide"
 
     t_build0 = time.perf_counter()
     ds = upload_scene(scene, accel=args.accel, wide_group_tris=args.group_tris)

@@ -66,6 +66,23 @@ def cmd_render(args) -> int:
     else:
         state = progressive.init_state(w, h, seed=args.seed)
 
+    # Instrumented ray count per sample (same metric as bench.py): the
+    # integrator counts the closest-hit and any-hit queries it actually
+    # issues, instead of the optimistic w*h*depth*2 upper bound.
+    from caitlynrenderer_tpu.core.camera import generate_rays
+    from caitlynrenderer_tpu.render import sampling
+    from caitlynrenderer_tpu.render.integrator import trace_paths
+
+    @jax.jit
+    def _count(uni):
+        o, d = generate_rays(camera, w, h, uni)
+        _, stats = trace_paths(ds, o, d, uni, options, with_stats=True)
+        return stats
+
+    _stats = jax.device_get(_count(sampling.draw_uniforms(
+        jax.random.PRNGKey(args.seed), w * h, options.max_depth)))
+    rays_per_sample = int(_stats["rays_closest"]) + int(_stats["rays_anyhit"])
+
     timer = metrics.StepTimer()
     last_ckpt = time.time()
     while int(state.frame_count) < spp:
@@ -73,7 +90,7 @@ def cmd_render(args) -> int:
             state = progressive.render_step(ds, camera, state, w, h, options)
             state.accum.block_until_ready()
         timer.count("samples", 1)
-        timer.count("rays", w * h * options.max_depth * 2)
+        timer.count("rays", rays_per_sample)
         if args.resume and time.time() - last_ckpt > args.checkpoint_every:
             checkpoint.save_render_state(args.resume, state)
             last_ckpt = time.time()

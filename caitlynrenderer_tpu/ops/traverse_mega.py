@@ -1,209 +1,119 @@
-"""Tile-consensus traversal megakernel — ONE Pallas kernel per query.
+"""Subtile-consensus traversal megakernel — the production wide-BVH walk.
 
-Why a third traversal (after ops/traverse_wide.py consensus streaming and
-ops/traverse_stream.py pair-exact binning): measured on TPU v5e, EVERY
-XLA-side irregular op (gather/scatter/sort/top_k) costs ~10-20 ns per
-index plus ~2 ms fixed — a pair-exact scheduler built from XLA primitives
-spends 10× longer shuffling pair ids than intersecting triangles.  This
-design needs ZERO XLA-side irregular ops:
+v2 of the tile-consensus design (v1 history: every XLA-side irregular op
+costs ~10-20 ns/index + ~2 ms fixed, so traversal must be ZERO-gather; the
+v1 kernel swept whole 1024-ray tiles with scalar-broadcast Möller–Trumbore
+and measured ~5 µs per 256-triangle group visit — VPU-saturated, meaning
+the only wins left are (a) fewer ray×triangle pairs and (b) fewer VPU flops
+per pair).  v2 gets both:
 
-  grid = ray tiles of 1024 (one (8,128) f32 register tile);
+  (a) **128-ray subtiles.**  The visit decision ("does any lane still need
+      this group?") is consensus over 128 rays instead of 1024.  The XLA
+      side still culls + front-to-back sorts the group worklist per
+      1024-ray supertile (cheap, amortized); each subtile then re-tests
+      every worklist entry against its own 128 rays inside the kernel
+      ((8 groups × 128 rays) slab tests per step, full VPU tiles) and
+      sweeps only groups its own rays can hit.  Incoherent bounce tiles
+      drop from ~360 visited groups (supertile union) to the subtile
+      union, and the DMA ring only fetches blocks the subtile will sweep.
 
-  phase A (cull): the tile slab-tests ALL group AABBs (bounds resident in
-  VMEM, (Gpad, 6) rows so the group loop indexes sublanes), recording each
-  group's tile-min t_near (reference rule, path_trace.fs:562-563);
+  (b) **Baldwin–Weber plane intersection on the MXU.**  Each triangle is
+      precomputed (host, float64) into three planes — normal plane
+      (n, d_n) and two barycentric planes (p_u, d_u), (p_v, d_v) with
+      t = -(n·o+d_n)/(n·d), u = (p_u·o+d_u) + t·(p_u·d), v likewise
+      (Baldwin & Weber, JCGT 2016 — algebraically equal to Möller–Trumbore,
+      validated to ~2e-6 on hits).  All six dot products for a whole
+      (128 rays × Kg triangles) visit become ONE matmul
+      (8, 3·Kg)ᵀ×(8, 256): the MXU eats the dots while the VPU does only
+      ~12 elementwise ops/pair (divide, two FMAs, compares, min-reduce) —
+      ~4× less VPU work than inlined Möller–Trumbore.
 
-  phase B (sweep): a scalar fori over groups; a group is visited only if
-  some lane's slab entry beats the tile's current worst useful t
-  (`tmin_g < max_lane t_best` — the consensus early-out).  A visit DMAs
-  the group's packed triangle block HBM→VMEM (async copy at a dynamic
-  group index) and runs the dense Möller–Trumbore sweep over all 1024
-  lanes.  Work = Σ_tiles |union(tile)| × 1024 × Kg; camera tiles are
-  coherent by construction and bounce tiles inherit pixel locality.
+The any-hit variant has a TRUE early exit: a lane that finds any hit drops
+out of the tile consensus (its bound goes to -inf), so the loop terminates
+as soon as every live lane is occluded (`path_trace.fs:703-708` is the
+per-ray reference behavior; this is its tile-consensus analog).
 
-Exact vs brute force: lanes mask by their own t_best and the tile-level
-skip only drops groups no lane can improve from.
+Exact-enough vs brute force: hit *selection* uses Baldwin–Weber t values
+(~1e-6 relative of the Möller–Trumbore t); the integrator re-derives
+(t, u, v) differentiably from the winning triangle id (`intersect.refine_hit`),
+so shading math is unaffected.  Tests accept id-or-t-close agreement.
 """
 
 from __future__ import annotations
 
+import os
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 1e9
-TILE = 1024
-CHUNK = 262144  # rays per kernel launch (grid = CHUNK/TILE tiles)
+SUPER = 1024  # rays per supertile (XLA cull + sort granularity)
+SUB = 128  # rays per subtile (kernel consensus granularity)
+SUBT = SUPER // SUB
+CHUNK = 262144  # rays per kernel launch
 DEPTH = 8  # DMA ring depth (triangle-block prefetch distance)
+_NO_TMAX = os.environ.get("MEGA_NO_TMAX") == "1"
+_NO_SWEEP = os.environ.get("MEGA_NO_SWEEP") == "1"
 
 
 def _interp():
     return jax.default_backend() != "tpu"
 
 
-def _make_kernel(n_groups: int, kg: int):
-    def kernel(
-        ox_ref, oy_ref, oz_ref,  # (1, 8, 128) f32 ray origin planes
-        dx_ref, dy_ref, dz_ref,  # (1, 8, 128) f32 ray direction planes
-        tlim_ref,  # (1, 8, 128) f32 per-ray acceptance bound (-INF dead)
-        gmin_ref,  # (1, Gpad, 1) f32: tile-min t_near, ascending (XLA cull+sort)
-        gids_ref,  # (1, Gpad, 1) i32: group ids in the same order
-        tris_hbm,  # (G, Kg, 128) f32 ANY: cols 0-8 v0,e1,e2; col 9 tri id
-        t_ref, tri_ref, u_ref, v_ref,  # outputs (1, 8, 128)
-        tmax_ref,  # scratch SMEM (1,) f32: tile's worst useful t
-        bt_ref, btri_ref, bu_ref, bv_ref,  # scratch (8, 128) accumulators
-        tris_vmem,  # scratch (DEPTH, Kg, 128) f32 DMA ring
-        sem,  # DMA semaphores (DEPTH,)
-    ):
-        ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-        dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-        t_best0 = tlim_ref[0]
-        bt_ref[:] = t_best0
-        btri_ref[:] = jnp.full((8, 128), -1, jnp.int32)
-        bu_ref[:] = jnp.zeros((8, 128), jnp.float32)
-        bv_ref[:] = jnp.zeros((8, 128), jnp.float32)
-
-        # Cull (phase A) runs as dense XLA outside the kernel; this tile's
-        # per-group min t_near arrives as the gmin input block.
-        tmax_ref[0] = jnp.max(t_best0)
-        # Worklist length: gmin is sorted ascending with INF padding.
-        n_pend = jnp.sum((gmin_ref[0, :, 0] < INF).astype(jnp.int32))
-
-        def dma(k):
-            g = gids_ref[0, k, 0]
-            return pltpu.make_async_copy(
-                tris_hbm.at[g], tris_vmem.at[k % DEPTH], sem.at[k % DEPTH]
-            )
-
-        # Prologue: fill the DMA ring DEPTH blocks deep — each visit then
-        # waits on an in-flight copy instead of paying full DMA latency.
-        n_first = jnp.minimum(n_pend, DEPTH)
-
-        def prologue(k, _):
-            dma(k).start()
-            return 0
-
-        lax.fori_loop(0, n_first, prologue, 0)
-
-        # --- phase B: sweep pending groups front-to-back; the sorted
-        # worklist makes `gmin >= tmax` a true stopping condition (ordered
-        # early termination, like the reference's near-first traversal).
-        def cond(state):
-            k, _ = state
-            return (k < n_pend) & (gmin_ref[0, k, 0] < tmax_ref[0])
-
-        def visit(state):
-            k, issued = state
-            dma(k).wait()
-
-            if True:
-                buf = k % DEPTH
-
-                def body(s, carry):
-                    best_t, best_tri, best_u, best_v = carry
-                    v0x = tris_vmem[buf, s, 0]
-                    v0y = tris_vmem[buf, s, 1]
-                    v0z = tris_vmem[buf, s, 2]
-                    e1x = tris_vmem[buf, s, 3]
-                    e1y = tris_vmem[buf, s, 4]
-                    e1z = tris_vmem[buf, s, 5]
-                    e2x = tris_vmem[buf, s, 6]
-                    e2y = tris_vmem[buf, s, 7]
-                    e2z = tris_vmem[buf, s, 8]
-                    pvx = dy * e2z - dz * e2y
-                    pvy = dz * e2x - dx * e2z
-                    pvz = dx * e2y - dy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv_det = 1.0 / jnp.where(
-                        jnp.abs(det) < 1e-20, 1e-20, det
-                    )
-                    tvx = ox - v0x
-                    tvy = oy - v0y
-                    tvz = oz - v0z
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    tri_f = tris_vmem[buf, s, 9]
-                    tri = tri_f.astype(jnp.int32)
-                    ok = (
-                        (u >= 0.0) & (v >= 0.0) & (1.0 - u - v >= 0.0)
-                        & (t >= 0.0) & (t < best_t)
-                        & (det != 0.0) & (tri_f >= 0.0)
-                    )
-                    return (
-                        jnp.where(ok, t, best_t),
-                        jnp.where(ok, tri, best_tri),
-                        jnp.where(ok, u, best_u),
-                        jnp.where(ok, v, best_v),
-                    )
-
-                # Full unroll: Mosaic pipelines the unrolled triangle chain
-                # ~8× better than the rolled loop (288→49 ms on the 100k
-                # scene; only unroll=1 or unroll=num_steps is supported).
-                best = lax.fori_loop(
-                    0, kg, body, (bt_ref[:], btri_ref[:], bu_ref[:], bv_ref[:]),
-                    unroll=kg,
-                )
-                bt_ref[:] = best[0]
-                btri_ref[:] = best[1]
-                bu_ref[:] = best[2]
-                bv_ref[:] = best[3]
-                tmax_ref[0] = jnp.max(best[0])
-
-            # Prefetch the next worklist entry into the buffer slot the
-            # sweep just released ((issued % DEPTH) == (k % DEPTH) once the
-            # ring is full — safe only AFTER the sweep of k).
-            @pl.when(issued < n_pend)
-            def _():
-                dma(issued).start()
-
-            return (k + 1, jnp.minimum(issued + 1, n_pend))
-
-        k_end, issued_end = lax.while_loop(cond, visit, (0, n_first))
-
-        # Drain copies issued past the early-termination point.
-        def drain(j, _):
-            dma(j).wait()
-            return 0
-
-        lax.fori_loop(k_end, issued_end, drain, 0)
-        t_ref[0] = bt_ref[:]
-        tri_ref[0] = btri_ref[:]
-        u_ref[0] = bu_ref[:]
-        v_ref[0] = bv_ref[:]
-
-    return kernel
-
-
 def pack_mega(packed_tris, tri_index):
-    """(G, Kg, 9) f32 + (G, Kg) i32 → (G, Kg, 128) f32 DMA-aligned blocks
-    (cols 0-8 = v0,e1,e2; col 9 = tri id as f32, exact below 2**24)."""
+    """Host precompute: (G, Kg, 9) v0/e1/e2 blocks + (G, Kg) ids →
+    (G, 8, 3·Kp) f32 Baldwin–Weber plane blocks (Kp = Kg padded to 128).
+
+    Row layout (the matmul K axis): rows 0-2 = plane vector xyz, row 3 =
+    plane offset, rows 4-7 = zero.  Column layout: [n-plane 0:Kp |
+    u-plane Kp:2Kp | v-plane 2Kp:3Kp], one column per triangle.  Planes
+    are computed in float64 (1/|n|² amplifies rounding) and cast to f32.
+    Degenerate / padding triangles get all-zero planes, which makes every
+    ray-pair evaluate to NaN and fail the acceptance compares.
+    """
+    packed_tris = np.asarray(packed_tris, np.float64)
+    tri_index = np.asarray(tri_index)
     g, kg, _ = packed_tris.shape
-    out = jnp.concatenate(
-        [
-            packed_tris,
-            tri_index[:, :, None].astype(jnp.float32),
-            jnp.zeros((g, kg, 118), jnp.float32),
-        ],
-        axis=2,
-    )
+    kp = -(-kg // 128) * 128
+    v0 = packed_tris[:, :, 0:3]
+    e1 = packed_tris[:, :, 3:6]
+    e2 = packed_tris[:, :, 6:9]
+    n = np.cross(e1, e2)
+    m = (n * n).sum(-1)
+    bad = (m < 1e-30) | (tri_index < 0)
+    m = np.where(bad, 1.0, m)
+    pu = np.cross(e2, n) / m[..., None]
+    pv = np.cross(n, e1) / m[..., None]
+    dn = -(n * v0).sum(-1)
+    du = -(pu * v0).sum(-1)
+    dv = -(pv * v0).sum(-1)
+    zero3 = bad[..., None]
+    n = np.where(zero3, 0.0, n)
+    pu = np.where(zero3, 0.0, pu)
+    pv = np.where(zero3, 0.0, pv)
+    dn = np.where(bad, 0.0, dn)
+    du = np.where(bad, 0.0, du)
+    dv = np.where(bad, 0.0, dv)
+
+    out = np.zeros((g, 8, 3 * kp), np.float32)
+    for base, vec, off in ((0, n, dn), (kp, pu, du), (2 * kp, pv, dv)):
+        out[:, 0:3, base : base + kg] = vec.transpose(0, 2, 1)
+        out[:, 3, base : base + kg] = off
     return out
 
 
 def _tile_gmin(o, d, t_lim, bounds, n_tiles, gpad):
-    """Dense XLA cull: per (tile, group) min t_near over the tile's rays.
-    Component-wise slab math; chunked so the (rays, G) intermediate stays
-    ~100 MB.  Returns (n_tiles, Gpad, 1) f32 (INF = tile skips group)."""
+    """Dense XLA cull: per (supertile, group) min t_near over the tile's
+    rays, chunked so the (rays, G) intermediate stays ~100 MB.  Returns
+    (n_tiles, gpad) f32 (INF = tile skips group)."""
     g = bounds.shape[0]
-    tiles_per_chunk = max(1, min(n_tiles, 32 * 1024 * 1024 // (TILE * g // 8)))
+    tiles_per_chunk = max(1, min(n_tiles, 32 * 1024 * 1024 // (SUPER * g // 8)))
 
     def cull(args):
-        oc, dc, tc = args  # (tpc*TILE, 3), ..., (tpc*TILE,)
+        oc, dc, tc = args
         tn = None
         tf = None
         di = 1.0 / dc
@@ -216,15 +126,15 @@ def _tile_gmin(o, d, t_lim, bounds, n_tiles, gpad):
             tf = hi if tf is None else jnp.minimum(tf, hi)
         hit = (tf > 0) & (tf >= tn) & (tn < tc[:, None])
         tn = jnp.where(hit, jnp.maximum(tn, 0.0), INF)
-        return jnp.min(tn.reshape(-1, TILE, g), axis=1)
+        return jnp.min(tn.reshape(-1, SUPER, g), axis=1)
 
     nc = -(-n_tiles // tiles_per_chunk)
     tpc = tiles_per_chunk
     pad_tiles = nc * tpc - n_tiles
     rs = lambda x: jnp.concatenate(
-        [x, jnp.zeros((pad_tiles * TILE,) + x.shape[1:], x.dtype)]
-    ).reshape((nc, tpc * TILE) + x.shape[1:]) if pad_tiles else x.reshape(
-        (nc, tpc * TILE) + x.shape[1:]
+        [x, jnp.zeros((pad_tiles * SUPER,) + x.shape[1:], x.dtype)]
+    ).reshape((nc, tpc * SUPER) + x.shape[1:]) if pad_tiles else x.reshape(
+        (nc, tpc * SUPER) + x.shape[1:]
     )
     gmin = lax.map(cull, (rs(o), rs(d), rs(t_lim)))
     gmin = gmin.reshape(nc * tpc, g)[:n_tiles]
@@ -232,75 +142,371 @@ def _tile_gmin(o, d, t_lim, bounds, n_tiles, gpad):
         gmin = jnp.concatenate(
             [gmin, jnp.full((n_tiles, gpad - g), INF, jnp.float32)], axis=1
         )
-    # Row-sort ascending: pending groups first, front-to-back.
     gids = jnp.broadcast_to(
         jnp.arange(gpad, dtype=jnp.int32)[None, :], gmin.shape
     )
     gmin, gids = lax.sort((gmin, gids), dimension=1, num_keys=1)
-    return gmin[:, :, None], gids[:, :, None]
+    return gmin, gids
 
 
-def _launch(o, d, t_lim, bounds, packed):
-    """One chunk (shape multiple of TILE). Returns (t, tri, u, v)."""
-    n = o.shape[0]
-    g, kg, _ = packed.shape
-    gpad = -(-g // 8) * 8
-    n_tiles = n // TILE
-    gmin, gids = _tile_gmin(o, d, t_lim, bounds, n_tiles, gpad)
-    plane = lambda a: a.reshape(n_tiles, 8, 128)
-    kernel = _make_kernel(g, kg)
-    ray_spec = pl.BlockSpec(
-        (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+def _build_wmeta(gmin, gids, bounds, starts):
+    """Per-supertile worklist metadata, sublane-major (one row per
+    worklist entry so the kernel's dynamic per-entry reads index the
+    sublane dimension, which Mosaic supports): (n_super, gpad, 16) f32
+    with columns 0-5 = bmin/bmax, 6 = group's first triangle id,
+    7 = sorted gmin, 8 = group id (for the DMA), 9-15 = zero.  Bounds and
+    starts are gathered into worklist order here (one small XLA gather per
+    traversal; the kernel then only ever does sequential reads)."""
+    n_super, gpad = gmin.shape
+    g = bounds.shape[0]
+    meta = jnp.concatenate(
+        [bounds, starts.astype(jnp.float32)[:, None]], axis=1
+    )  # (G, 7)
+    if gpad > g:
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((gpad - g, 7), jnp.float32)], axis=0
+        )
+    sorted_meta = meta[gids]  # (n_super, gpad, 7)
+    return jnp.concatenate(
+        [
+            sorted_meta,
+            gmin[:, :, None],  # col 7
+            gids.astype(jnp.float32)[:, :, None],  # col 8
+            jnp.zeros((n_super, gpad, 7), jnp.float32),
+        ],
+        axis=2,
     )
-    t, tri, u, v = pl.pallas_call(
+
+
+def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
+    kp = kp3 // 3
+
+    def kernel(
+        rays_cm_ref,  # (1, 8, 128) rows [ox,oy,oz,dx,dy,dz,tlim,·]
+        wmeta_ref,  # (1, gpad, 16) worklist metadata (see _build_wmeta)
+        tris_hbm,  # (G, 8, 3·Kp) ANY — Baldwin–Weber plane blocks
+        *refs,
+    ):
+        if anyhit:
+            (
+                hit_ref,
+                od_ref, own_ref, ring, sem, bt_ref, aux_ref, tmax_ref, st_ref,
+            ) = refs
+            bu_ref = bv_ref = None
+        else:
+            (
+                t_ref, tri_ref, u_ref, v_ref,
+                od_ref, own_ref, ring, sem, bt_ref, aux_ref, bu_ref, bv_ref,
+                tmax_ref, st_ref,
+            ) = refs
+        rc = rays_cm_ref[0]  # (8, 128)
+        tlim = rc[6:7, :]  # (1, 128)
+        gpad = wmeta_ref.shape[1]
+
+        # --- ray-variant matrix for the visit matmul: cols 0-127 [o;1],
+        # cols 128-255 [d;0] (rows = the plane blocks' K axis).
+        od_ref[:, :] = jnp.zeros((8, 256), jnp.float32)
+        od_ref[0:3, 0:128] = rc[0:3, :]
+        od_ref[3:4, 0:128] = jnp.ones((1, 128), jnp.float32)
+        od_ref[0:3, 128:256] = rc[3:6, :]
+
+        # --- phase A: own-subtile cull.  For every worklist entry, the
+        # min slab-entry t over THIS subtile's 128 rays (INF = skip).
+        # Each step slab-tests an octet of 8 worklist entries (sublanes)
+        # against all 128 rays (lanes) — full (8, 128) VPU tiles.
+        ox = [rc[a : a + 1, :] for a in range(3)]
+        dinv = [1.0 / rc[3 + a : 4 + a, :] for a in range(3)]
+
+        def octet(c, _):
+            tn = None
+            tf = None
+            for a in range(3):
+                bmn = wmeta_ref[0, pl.ds(c * 8, 8), a : a + 1]
+                bmx = wmeta_ref[0, pl.ds(c * 8, 8), a + 3 : a + 4]
+                t0 = (bmn - ox[a]) * dinv[a]
+                t1 = (bmx - ox[a]) * dinv[a]
+                lo = jnp.minimum(t0, t1)
+                hi = jnp.maximum(t0, t1)
+                tn = lo if tn is None else jnp.maximum(tn, lo)
+                tf = hi if tf is None else jnp.minimum(tf, hi)
+            ok = (tf > 0) & (tf >= tn) & (tn < tlim)
+            gt = jnp.where(ok, jnp.maximum(tn, 0.0), INF)
+            own8 = jnp.min(gt, axis=1, keepdims=True)  # (8, 1)
+            # Mask entries the supertile already ruled out (also kills the
+            # padded worklist tail, whose inverted sentinel boxes would
+            # otherwise pass the min/max slab test).
+            own8 = jnp.where(
+                wmeta_ref[0, pl.ds(c * 8, 8), 7:8] < INF, own8, INF
+            )
+            own_ref[pl.ds(c * 8, 8), 0:1] = own8
+            return 0
+
+        lax.fori_loop(0, gpad // 8, octet, 0)
+
+        n_pend = jnp.sum(
+            (wmeta_ref[0, :, 7:8] < INF).astype(jnp.int32)
+        )
+
+        def dma(k, slot):
+            g = wmeta_ref[0, k, 8].astype(jnp.int32)
+            return pltpu.make_async_copy(
+                tris_hbm.at[g], ring.at[slot], sem.at[slot]
+            )
+
+        # --- prologue: issue the first DEPTH own-pending blocks.
+        def pro_cond(s):
+            cnt, kd = s
+            return (cnt < DEPTH) & (kd < n_pend)
+
+        def pro_body(s):
+            cnt, kd = s
+            pend = own_ref[kd, 0] < INF
+
+            @pl.when(pend)
+            def _():
+                dma(kd, cnt % DEPTH).start()
+
+            return (cnt + jnp.where(pend, 1, 0), kd + 1)
+
+        ni0, kd0 = lax.while_loop(pro_cond, pro_body, (0, 0))
+        st_ref[0] = kd0  # scan head (next worklist index to consider issuing)
+        st_ref[1] = 0  # nv: own-pending entries consumed
+        st_ref[2] = ni0  # ni: own-pending entries issued
+
+        # --- phase B: walk the worklist in supertile front-to-back order.
+        # All mutable state lives in refs (SMEM scalars + VMEM accumulator
+        # rows) so the per-entry skip path carries NOTHING — a loop-carried
+        # vector accumulator would force register copies on every branch
+        # (~120 ns/entry measured), which dominated an earlier version.
+        bt_ref[0:1, :] = tlim
+        aux_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)  # tri / hit
+        if not anyhit:
+            bu_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
+            bv_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
+        tmax_ref[0] = jnp.max(tlim)
+
+        def cond(k):
+            k_safe = jnp.minimum(k, gpad - 1)  # k == n_pend at loop exit
+            return (k < n_pend) & (wmeta_ref[0, k_safe, 7] < tmax_ref[0])
+
+        def sweep(k, slot):
+            p = ring[slot]  # (8, 3·Kp)
+            r = lax.dot_general(
+                p,
+                od_ref[:, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,  # f32 passes, not bf16
+            )  # (3·Kp, 256)
+            an = r[0:kp, 0:128]
+            bn = r[0:kp, 128:256]
+            au = r[kp : 2 * kp, 0:128]
+            bu = r[kp : 2 * kp, 128:256]
+            av = r[2 * kp : 3 * kp, 0:128]
+            bv = r[2 * kp : 3 * kp, 128:256]
+            t = -an / bn
+            u = au + t * bu
+            v = av + t * bv
+            bt = bt_ref[0:1, :]
+            okm = (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t >= 0) & (t < bt)
+            if anyhit:
+                hit_any = jnp.any(okm, axis=0, keepdims=True)
+                aux_ref[0:1, :] = jnp.maximum(
+                    aux_ref[0:1, :], hit_any.astype(jnp.int32)
+                )
+                new_bt = jnp.where(hit_any, -INF, bt)
+                bt_ref[0:1, :] = new_bt
+                if not _NO_TMAX:
+                    tmax_ref[0] = jnp.max(new_bt)
+                return
+            tm = jnp.where(okm, t, INF)
+            vmin = jnp.min(tm, axis=0, keepdims=True)
+            improved = vmin < bt
+            sel = tm == vmin
+            rid = jax.lax.broadcasted_iota(jnp.int32, (kp, 128), 0)
+            vrow = jnp.min(jnp.where(sel, rid, kp), axis=0, keepdims=True)
+            start = wmeta_ref[0, k, 6].astype(jnp.int32)
+            uc = jnp.min(jnp.where(sel, u, INF), axis=0, keepdims=True)
+            vc = jnp.min(jnp.where(sel, v, INF), axis=0, keepdims=True)
+            new_bt = jnp.where(improved, vmin, bt)
+            bt_ref[0:1, :] = new_bt
+            aux_ref[0:1, :] = jnp.where(improved, start + vrow, aux_ref[0:1, :])
+            bu_ref[0:1, :] = jnp.where(improved, uc, bu_ref[0:1, :])
+            bv_ref[0:1, :] = jnp.where(improved, vc, bv_ref[0:1, :])
+            if not _NO_TMAX:
+                tmax_ref[0] = jnp.max(new_bt)
+
+        def body(k):
+            own_k = own_ref[k, 0]
+
+            @pl.when(own_k < INF)
+            def _():
+                nv = st_ref[1]
+                slot = nv % DEPTH
+                dma(k, slot).wait()  # consume this slot's signal
+
+                if not _NO_SWEEP:
+                    @pl.when(own_k < tmax_ref[0])
+                    def _():
+                        sweep(k, slot)
+
+                # Refill the freed slot: scan to the next own-pending entry.
+                def scan_cond(kd2):
+                    kd2s = jnp.minimum(kd2, gpad - 1)
+                    return (kd2 < n_pend) & (own_ref[kd2s, 0] >= INF)
+
+                kd = lax.while_loop(scan_cond, lambda s: s + 1, st_ref[0])
+
+                @pl.when(kd < n_pend)
+                def _():
+                    dma(kd, slot).start()
+                    st_ref[2] = st_ref[2] + 1
+
+                st_ref[0] = kd + 1
+                st_ref[1] = nv + 1
+
+            return k + 1
+
+        lax.while_loop(cond, body, 0)
+
+        # Drain DMAs issued past the early-termination point.
+        def drain(j, _):
+            pltpu.make_async_copy(
+                ring.at[j % DEPTH], ring.at[j % DEPTH], sem.at[j % DEPTH]
+            ).wait()
+            return 0
+
+        lax.fori_loop(st_ref[1], st_ref[2], drain, 0)
+
+        if anyhit:
+            hit_ref[0] = jnp.broadcast_to(
+                jnp.maximum(aux_ref[0:1, :], 0), (8, 128)
+            )
+        else:
+            t_ref[0] = jnp.broadcast_to(bt_ref[0:1, :], (8, 128))
+            tri_ref[0] = jnp.broadcast_to(aux_ref[0:1, :], (8, 128))
+            u_ref[0] = jnp.broadcast_to(bu_ref[0:1, :], (8, 128))
+            v_ref[0] = jnp.broadcast_to(bv_ref[0:1, :], (8, 128))
+
+    return kernel
+
+
+def _launch(o, d, t_lim, bounds, starts, planes, anyhit=False):
+    """One chunk (ray count a multiple of SUPER)."""
+    n = o.shape[0]
+    g, _, kp3 = planes.shape
+    gpad = -(-g // 8) * 8
+    n_super = n // SUPER
+    n_sub = n // SUB
+    gmin, gids = _tile_gmin(o, d, t_lim, bounds, n_super, gpad)
+    wmeta = _build_wmeta(gmin, gids, bounds, starts)
+
+    rays_cm = jnp.stack(
+        [
+            o[:, 0].reshape(n_sub, SUB),
+            o[:, 1].reshape(n_sub, SUB),
+            o[:, 2].reshape(n_sub, SUB),
+            d[:, 0].reshape(n_sub, SUB),
+            d[:, 1].reshape(n_sub, SUB),
+            d[:, 2].reshape(n_sub, SUB),
+            t_lim.reshape(n_sub, SUB),
+            jnp.zeros((n_sub, SUB), jnp.float32),
+        ],
+        axis=1,
+    )  # (n_sub, 8, 128)
+
+    kernel = _make_kernel(g, kp3, anyhit)
+    sub_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i, j: (i * SUBT + j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [sub_spec] * (1 if anyhit else 4)
+    if anyhit:
+        out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.float32)] * 4
+        out_shape[1] = jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)
+    outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[ray_spec] * 7
-        + [
+        grid=(n_super, SUBT),
+        in_specs=[
+            sub_spec,
             pl.BlockSpec(
-                (1, gpad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),  # gmin
-            pl.BlockSpec(
-                (1, gpad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),  # gids
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tris HBM
+                (1, gpad, 16), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[ray_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((DEPTH, kg, 128), jnp.float32),
+            pltpu.VMEM((8, 256), jnp.float32),  # od
+            pltpu.VMEM((gpad, 8), jnp.float32),  # own gmin (col 0)
+            pltpu.VMEM((DEPTH, 8, kp3), jnp.float32),  # DMA ring
             pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((8, 128), jnp.float32),  # bt (row 0)
+            pltpu.VMEM((8, 128), jnp.int32),  # tri / hit (row 0)
+        ]
+        + (
+            []
+            if anyhit
+            else [
+                pltpu.VMEM((8, 128), jnp.float32),  # bu (row 0)
+                pltpu.VMEM((8, 128), jnp.float32),  # bv (row 0)
+            ]
+        )
+        + [
+            pltpu.SMEM((1,), jnp.float32),  # tmax
+            pltpu.SMEM((4,), jnp.int32),  # kd / nv / ni
         ],
         interpret=_interp(),
-    )(
-        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-        plane(t_lim),
-        gmin,
-        gids,
-        packed,
+    )(rays_cm, wmeta, planes)
+    take = lambda x: x[:, 0, :].reshape(n_sub * SUB)
+    if anyhit:
+        return (take(outs[0]),)
+    return tuple(take(x) for x in outs)
+
+
+def _sort_order(o, d, t_lim, bounds):
+    """Coherence sort key per ray: [dead | direction octant | origin
+    morton].  Subtiles then hold 128 rays of one direction octant with
+    nearby origins, which shrinks the subtile's group union toward the
+    per-ray average — the whole point of subtile consensus.  Dead lanes
+    (t_lim = -INF) sort to the end, so late-bounce tiles become entirely
+    dead and exit after phase A (free ray compaction).  Returns
+    (order, inverse-order)."""
+    smin = bounds[:, :3].min(axis=0)
+    smax = bounds[:, 3:].max(axis=0)
+    oct_ = (
+        ((d[:, 0] < 0).astype(jnp.uint32) << 2)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | (d[:, 2] < 0).astype(jnp.uint32)
     )
-    n_ = n_tiles * TILE
-    return t.reshape(n_), tri.reshape(n_), u.reshape(n_), v.reshape(n_)
+    q = jnp.clip(
+        (o - smin[None, :]) / jnp.maximum(smax - smin, 1e-6)[None, :] * 63.0,
+        0.0,
+        63.0,
+    ).astype(jnp.uint32)
+
+    def spread(x):
+        x = (x | (x << 10)) & 0x30000FF
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    m = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    key = (oct_ << 18) | (m & 0x3FFFF)
+    key = jnp.where(t_lim > -INF, key, jnp.uint32(0x7FFFFFFF))
+    order = jnp.argsort(key)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
+    return order, inv
 
 
 def _scene_exit_bound(o, d, t_lim, bounds):
-    """Clamp each ray's acceptance bound to its scene-bbox exit t: every
-    triangle lies inside the union of group bounds, so no hit can exist
-    past the exit — rays that miss (or leave) the scene stop holding the
-    tile's `tmax` at INF, which is what makes early termination work for
-    incoherent ray sets (2.9 s → 0.4 s on the 100k-tri bounce benchmark
-    before the unroll fix; multiplicative with it)."""
+    """Clamp each ray's acceptance bound to its scene-bbox exit t: no hit
+    can exist past the exit, so miss rays stop holding the tile's `tmax`
+    at INF (what makes consensus early termination work for incoherent
+    ray sets)."""
     smin = bounds[:, :3].min(axis=0)
     smax = bounds[:, 3:].max(axis=0)
     d_inv = 1.0 / d
@@ -313,31 +519,39 @@ def _scene_exit_bound(o, d, t_lim, bounds):
     return jnp.minimum(t_lim, exit_t)
 
 
-def _query(o, d, t_lim, bounds, packed):
+def _query(o, d, t_lim, bounds, starts, planes, anyhit=False, sort=True):
     n = o.shape[0]
     t_lim = _scene_exit_bound(o, d, t_lim, bounds)
-    c = min(CHUNK, max(TILE, -(-n // TILE) * TILE))
+    if sort and n >= SUPER:
+        order, inv = _sort_order(o, d, t_lim, bounds)
+        o, d, t_lim = o[order], d[order], t_lim[order]
+    else:
+        inv = None
+    c = min(CHUNK, max(SUPER, -(-n // SUPER) * SUPER))
     pad = (-n) % c
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
         t_lim = jnp.concatenate([t_lim, jnp.full(pad, -INF, jnp.float32)])
     if o.shape[0] == c:
-        out = _launch(o, d, t_lim, bounds, packed)
+        out = _launch(o, d, t_lim, bounds, starts, planes, anyhit=anyhit)
     else:
         nc = o.shape[0] // c
         rs = lambda x: x.reshape((nc, c) + x.shape[1:])
         out = lax.map(
-            lambda a: _launch(*a, bounds, packed),
+            lambda a: _launch(*a, bounds, starts, planes, anyhit=anyhit),
             (rs(o), rs(d), rs(t_lim)),
         )
         out = tuple(x.reshape(-1) for x in out)
+    if inv is not None:
+        return tuple(x[:n][inv] for x in out)
     return tuple(x[:n] for x in out)
 
 
-def mega_closest(o, d, active, group_bounds, mega_blocks):
-    """Closest-hit via the tile-consensus megakernel. Returns (t, tri, u, v);
-    tri = -1 on miss.  Exact vs brute force.  mega_blocks from `pack_mega`."""
+def mega_closest(o, d, active, group_bounds, mega_blocks, tri_starts):
+    """Closest-hit via the subtile-consensus megakernel.  Returns
+    (t, tri, u, v); tri = -1 on miss.  mega_blocks from `pack_mega`;
+    tri_starts = each group's first (contiguous) global triangle id."""
     n = o.shape[0]
     if mega_blocks.shape[0] == 0:
         return (
@@ -347,17 +561,20 @@ def mega_closest(o, d, active, group_bounds, mega_blocks):
             jnp.zeros(n, jnp.float32),
         )
     t_lim = jnp.where(active, jnp.float32(INF), jnp.float32(-INF))
-    t, tri, u, v = _query(o, d, t_lim, group_bounds, mega_blocks)
+    t, tri, u, v = _query(o, d, t_lim, group_bounds, tri_starts, mega_blocks)
     t = jnp.where(tri >= 0, t, INF)
     return t, tri, u, v
 
 
-def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks):
-    """Any-hit via the megakernel (closest-hit sweep, hit test on return —
-    the tile-max skip prunes groups quickly once lanes find hits)."""
+def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks, tri_starts):
+    """Any-hit via the megakernel, with a true consensus early exit: lanes
+    that find any hit leave the tile's bound, so the walk stops as soon as
+    every live lane is occluded."""
     n = o.shape[0]
     if mega_blocks.shape[0] == 0:
         return jnp.zeros(n, bool)
     t_lim = jnp.where(active, t_max, -INF)
-    _, tri, _, _ = _query(o, d, t_lim, group_bounds, mega_blocks)
-    return tri >= 0
+    (hit,) = _query(
+        o, d, t_lim, group_bounds, tri_starts, mega_blocks, anyhit=True
+    )
+    return hit > 0

@@ -107,7 +107,8 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
             from caitlynrenderer_tpu.ops.traverse_mega import mega_closest
 
             t, tri, u, v = mega_closest(
-                o, d, active, ds.wb_group_bounds, ds.wb_mega
+                o, d, active, ds.wb_group_bounds, ds.wb_mega,
+                ds.wb_tri_index[:, 0],
             )
             return Hit(t, tri, u, v)
         if options.wide_algo == "stream":
@@ -115,7 +116,7 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
 
             t, tri, u, v = stream_closest(
                 o, d, active,
-                ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
+                ds.wb_group_bounds, ds.wb_mega, ds.wb_tri_index[:, 0],
                 k=options.stream_k,
             )
             return Hit(t, tri, u, v)
@@ -162,14 +163,15 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
             from caitlynrenderer_tpu.ops.traverse_mega import mega_anyhit
 
             return mega_anyhit(
-                o, d, t_max, active, ds.wb_group_bounds, ds.wb_mega
+                o, d, t_max, active, ds.wb_group_bounds, ds.wb_mega,
+                ds.wb_tri_index[:, 0],
             )
         if options.wide_algo == "stream":
             from caitlynrenderer_tpu.ops.traverse_stream import stream_anyhit
 
             return stream_anyhit(
                 o, d, t_max, active,
-                ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
+                ds.wb_group_bounds, ds.wb_mega, ds.wb_tri_index[:, 0],
                 k=options.stream_k,
             )
         from caitlynrenderer_tpu.ops.traverse_wide import chunked_wide_anyhit

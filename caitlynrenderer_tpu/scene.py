@@ -33,7 +33,7 @@ class DeviceScene(NamedTuple):
     wb_group_bounds: jax.Array  # (G, 6) f32     — streaming wide BVH groups
     wb_packed_tris: jax.Array  # (G, Kg, 9) f32  — packed group triangle blocks
     wb_tri_index: jax.Array  # (G, Kg) i32       — global tri ids, -1 pad
-    wb_mega: jax.Array  # (G, Kg, 128) f32 — DMA-aligned blocks (traverse_mega)
+    wb_mega: jax.Array  # (G, 8, 3·Kp) f32 — Baldwin–Weber planes (traverse_mega)
     # NOTE: the leaf width used at build time is a *static* render option
     # (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
     # static; it is not stored here because NamedTuple fields are pytree
@@ -149,14 +149,13 @@ def upload_scene(
         )
 
     if wb.packed_tris.shape[0] > 0:
-        # Host-side build of the DMA-aligned mega blocks (see
-        # ops/traverse_mega.pack_mega for the column layout).
-        g_, kg_, _ = wb.packed_tris.shape
-        wb_mega = np.zeros((g_, kg_, 128), np.float32)
-        wb_mega[:, :, :9] = wb.packed_tris
-        wb_mega[:, :, 9] = wb.tri_index.astype(np.float32)
+        # Host-side build of the Baldwin–Weber plane blocks consumed by
+        # the megakernel (ops/traverse_mega.pack_mega documents the layout).
+        from caitlynrenderer_tpu.ops.traverse_mega import pack_mega
+
+        wb_mega = pack_mega(wb.packed_tris, wb.tri_index)
     else:
-        wb_mega = np.zeros((0, 1, 128), np.float32)
+        wb_mega = np.zeros((0, 8, 384), np.float32)
 
     dev_scene = jax.tree_util.tree_map(to_dev, ordered)
     return DeviceScene(
