@@ -57,6 +57,8 @@ CHUNK = 262144  # rays per kernel launch
 DEPTH = 8  # DMA ring depth (triangle-block prefetch distance)
 _NO_TMAX = os.environ.get("MEGA_NO_TMAX") == "1"
 _NO_SWEEP = os.environ.get("MEGA_NO_SWEEP") == "1"
+_STATS = os.environ.get("MEGA_STATS") == "1"  # extra (n_sub, 8, 128) i32
+# output: row 0 = sweeps done, row 1 = own-pending entries (diagnostics)
 
 
 def _interp():
@@ -187,6 +189,10 @@ def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
         tris_hbm,  # (G, 8, 3·Kp) ANY — Baldwin–Weber plane blocks
         *refs,
     ):
+        if _STATS:
+            stats_ref, refs = refs[0], refs[1:]
+        else:
+            stats_ref = None
         if anyhit:
             (
                 hit_ref,
@@ -272,6 +278,7 @@ def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
         st_ref[0] = kd0  # scan head (next worklist index to consider issuing)
         st_ref[1] = 0  # nv: own-pending entries consumed
         st_ref[2] = ni0  # ni: own-pending entries issued
+        st_ref[3] = 0  # sweeps done (stats)
 
         # --- phase B: walk the worklist in supertile front-to-back order.
         # All mutable state lives in refs (SMEM scalars + VMEM accumulator
@@ -349,6 +356,7 @@ def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
                     @pl.when(own_k < tmax_ref[0])
                     def _():
                         sweep(k, slot)
+                        st_ref[3] = st_ref[3] + 1
 
                 # Refill the freed slot: scan to the next own-pending entry.
                 def scan_cond(kd2):
@@ -387,6 +395,11 @@ def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
             tri_ref[0] = jnp.broadcast_to(aux_ref[0:1, :], (8, 128))
             u_ref[0] = jnp.broadcast_to(bu_ref[0:1, :], (8, 128))
             v_ref[0] = jnp.broadcast_to(bv_ref[0:1, :], (8, 128))
+        if _STATS:
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            stats_ref[0] = jnp.where(
+                row == 0, st_ref[3], jnp.where(row == 1, n_pend, 0)
+            )
 
     return kernel
 
@@ -425,6 +438,11 @@ def _launch(o, d, t_lim, bounds, starts, planes, anyhit=False):
     else:
         out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.float32)] * 4
         out_shape[1] = jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)
+    if _STATS:
+        # diagnostics output FIRST (kernel unpacks refs[0] as stats):
+        # per subtile, row 0 = sweeps done, row 1 = own-pending entries.
+        out_specs = [sub_spec] + out_specs
+        out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)] + out_shape
     outs = pl.pallas_call(
         kernel,
         grid=(n_super, SUBT),
@@ -460,6 +478,11 @@ def _launch(o, d, t_lim, bounds, starts, planes, anyhit=False):
         interpret=_interp(),
     )(rays_cm, wmeta, planes)
     take = lambda x: x[:, 0, :].reshape(n_sub * SUB)
+    if _STATS:
+        stats, outs = outs[0], outs[1:]
+        if anyhit:
+            return (stats, take(outs[0]))
+        return (stats,) + tuple(take(x) for x in outs)
     if anyhit:
         return (take(outs[0]),)
     return tuple(take(x) for x in outs)
@@ -542,7 +565,16 @@ def _query(o, d, t_lim, bounds, starts, planes, anyhit=False, sort=True):
             lambda a: _launch(*a, bounds, starts, planes, anyhit=anyhit),
             (rs(o), rs(d), rs(t_lim)),
         )
-        out = tuple(x.reshape(-1) for x in out)
+        out = tuple(
+            x.reshape((-1,) + x.shape[2:]) if _STATS and x.ndim > 2
+            else x.reshape(-1)
+            for x in out
+        )
+    if _STATS:  # diagnostics stay per-subtile (post-sort order)
+        stats, out = out[0], out[1:]
+        if inv is not None:
+            return (stats,) + tuple(x[:n][inv] for x in out)
+        return (stats,) + tuple(x[:n] for x in out)
     if inv is not None:
         return tuple(x[:n][inv] for x in out)
     return tuple(x[:n] for x in out)
