@@ -46,7 +46,7 @@ def main():
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--group-tris", type=int, default=256)
+    ap.add_argument("--group-tris", type=int, default=128)
     args = ap.parse_args()
 
     import jax

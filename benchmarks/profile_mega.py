@@ -1,17 +1,20 @@
 #!/usr/bin/env python
-"""Stage-level profile of the mega-path frame (VERDICT r2 directive #1).
+"""Stage-level profile of the mega-path frame (r3 directive #1).
 
-Splits a grid100k 256x256x4 frame into:
-  (a) XLA cull + sort        (_tile_gmin + _build_wmeta + _sort_order)
-  (b) Pallas kernel sweep    (mega_closest minus the XLA prep)
-  (c) integrator overhead    (frame minus all traversal calls)
+Splits a grid100k 256x256x4 frame into raygen, per-traversal cost on
+primary vs bounce rays, and integrator residue.  Env knobs isolate kernel
+stages (fresh process per knob — they bake at import):
+  MEGA_PHASE_A_ONLY=1   phase A + XLA prep only (no walk)
+  MEGA_NO_SWEEP=1       walk without the sweep matmul (DMA + scheduling)
+  MEGA_STATS=1          adds a per-tile sweep-step counter output
 
 Run:  python benchmarks/profile_mega.py [--scene grid100k] [--width 256]
-Prints one JSON dict per probe; commit the numbers with the fix.
+Numbers from these probes are recorded in benchmarks/PROFILE_r3.md.
 """
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -36,7 +39,7 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--group-tris", type=int, default=256)
+    ap.add_argument("--group-tris", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -52,14 +55,12 @@ def main():
 
     if args.scene == "grid100k":
         scene, _ = builtin_scenes.displaced_grid(resolution=224)
-        pos = np.array([5.0, 9.0, 11.0], np.float32)
-        camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 50.0)
     elif args.scene == "grid1m":
         scene, _ = builtin_scenes.displaced_grid(resolution=708)
-        pos = np.array([5.0, 9.0, 11.0], np.float32)
-        camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 50.0)
     else:
         raise SystemExit(f"unknown scene {args.scene}")
+    pos = np.array([5.0, 9.0, 11.0], np.float32)
+    camera = make_camera(pos, np.array([5.0, 2.0, 5.0], np.float32), 50.0)
 
     ds = upload_scene(scene, accel="wide", wide_group_tris=args.group_tris)
     g = ds.wb_group_bounds.shape[0]
@@ -72,81 +73,71 @@ def main():
     report = {
         "scene": args.scene, "tris": int(scene.num_triangles), "groups": g,
         "rays": n, "depth": depth, "device": str(jax.devices()[0]),
+        "knobs": {
+            k: os.environ.get(k, "0")
+            for k in ("MEGA_PHASE_A_ONLY", "MEGA_NO_SWEEP", "MEGA_STATS")
+        },
     }
 
     key = jax.random.PRNGKey(0)
     uniforms = sampling.draw_uniforms(key, n, depth)
-    o, d = jax.jit(
-        lambda u: generate_rays(camera, w, h, u)
-    )(uniforms)
+    o, d = jax.jit(lambda u: generate_rays(camera, w, h, u))(uniforms)
     o, d = jax.block_until_ready((o, d))
     active = jnp.ones(n, bool)
+    stats_on = os.environ.get("MEGA_STATS") == "1"
 
-    # incoherent bounce-like rays: random origins on scene surface, random dirs
-    ko, kd = jax.random.split(jax.random.PRNGKey(1))
-    smin = np.asarray(ds.wb_group_bounds[:, :3].min(axis=0))
-    smax = np.asarray(ds.wb_group_bounds[:, 3:].max(axis=0))
-    o_inc = jax.random.uniform(ko, (n, 3)) * (smax - smin) + smin
-    d_inc = jax.random.normal(kd, (n, 3))
-    d_inc = d_inc / jnp.linalg.norm(d_inc, axis=1, keepdims=True)
-
-    # --- full frame
-    frame = jax.jit(lambda u: render_sample(ds, camera, u, w, h, options))
-    report["frame_ms"] = timeit(frame, uniforms) * 1e3
-
-    # --- traversal calls in isolation
+    margs = (
+        ds.wb_group_bounds, ds.wb_mega,
+        ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start,
+    )
     closest = jax.jit(
-        lambda o, d: tm.mega_closest(
-            o, d, active, ds.wb_group_bounds, ds.wb_mega, ds.wb_tri_index[:, 0]
+        lambda o, d, og: tm.mega_closest(o, d, active, *margs, og=og)
+    )
+    og0 = jnp.zeros(n, jnp.int32)
+    if stats_on:
+        qj = jax.jit(
+            lambda o, d, og: tm._query(
+                o, d, jnp.where(active, 1e9, -1e9), og,
+                ds.wb_group_bounds, ds.wb_oct_bounds, ds.wb_oct_gid,
+                ds.wb_oct_start, ds.wb_mega,
+            )
         )
-    )
-    anyhit = jax.jit(
-        lambda o, d: tm.mega_anyhit(
-            o, d, jnp.full(n, 100.0), active, ds.wb_group_bounds, ds.wb_mega,
-            ds.wb_tri_index[:, 0],
+        outs = jax.block_until_ready(qj(o, d, og0))
+        steps = np.asarray(outs[0])[:, 0, 0]
+        report["primary_steps_per_tile"] = round(float(steps.mean()), 1)
+        t, tri, grp = (np.asarray(x) for x in outs[1:])
+    else:
+        t, tri, grp = jax.block_until_ready(closest(o, d, og0))
+        t, tri, grp = np.asarray(t), np.asarray(tri), np.asarray(grp)
+        report["closest_primary_ms"] = timeit(closest, o, d, og0) * 1e3
+
+    # realistic bounce rays: hit points + random hemisphere dirs, with the
+    # production origin-group sort hint
+    hitp = np.asarray(o) + np.asarray(d) * np.where(tri >= 0, t, 5.0)[:, None]
+    dirs = np.array(jax.random.normal(jax.random.PRNGKey(7), (n, 3)))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    og = jnp.asarray(np.maximum(grp, 0))
+    o2, d2 = jnp.asarray(hitp - dirs * 1e-3), jnp.asarray(dirs)
+    if stats_on:
+        outs2 = jax.block_until_ready(qj(o2, d2, og))
+        steps2 = np.asarray(outs2[0])[:, 0, 0]
+        report["bounce_steps_per_tile"] = round(float(steps2.mean()), 1)
+    else:
+        report["closest_bounce_ms"] = timeit(closest, o2, d2, og) * 1e3
+        anyhit = jax.jit(
+            lambda o, d, og: tm.mega_anyhit(
+                o, d, jnp.full(n, 2.0), active, *margs, og=og
+            )
         )
-    )
-    report["closest_primary_ms"] = timeit(closest, o, d) * 1e3
-    report["closest_incoherent_ms"] = timeit(closest, o_inc, d_inc) * 1e3
-    report["anyhit_incoherent_ms"] = timeit(anyhit, o_inc, d_inc) * 1e3
-
-    # --- XLA prep stages in isolation
-    gpad = -(-g // 8) * 8
-    n_super = n // tm.SUPER
-
-    gmin_fn = jax.jit(
-        lambda o, d, t: tm._tile_gmin(o, d, t, ds.wb_group_bounds, n_super, gpad)
-    )
-    t_lim = jnp.full(n, 100.0)
-    report["tile_gmin_sort_ms"] = timeit(gmin_fn, o, d, t_lim) * 1e3
-
-    wmeta_fn = jax.jit(
-        lambda o, d, t: tm._build_wmeta(
-            *tm._tile_gmin(o, d, t, ds.wb_group_bounds, n_super, gpad),
-            ds.wb_group_bounds, ds.wb_tri_index[:, 0],
+        report["anyhit_bounce_ms"] = timeit(anyhit, o2, d2, og) * 1e3
+        frame = jax.jit(lambda u: render_sample(ds, camera, u, w, h, options))
+        report["frame_ms"] = timeit(frame, uniforms, reps=3) * 1e3
+        est = (
+            report["closest_primary_ms"]
+            + (depth - 1) * report["closest_bounce_ms"]
+            + depth * report["anyhit_bounce_ms"]
         )
-    )
-    report["gmin_plus_wmeta_ms"] = timeit(wmeta_fn, o, d, t_lim) * 1e3
-
-    sort_fn = jax.jit(
-        lambda o, d, t: tm._sort_order(o, d, t, ds.wb_group_bounds)
-    )
-    report["sort_order_ms"] = timeit(sort_fn, o, d, t_lim) * 1e3
-
-    # traversal with XLA prep but trivial kernel work would need a kernel
-    # stub; estimate kernel time = closest - (gmin+wmeta) - sort - reorder.
-    report["est_kernel_primary_ms"] = (
-        report["closest_primary_ms"]
-        - report["gmin_plus_wmeta_ms"]
-        - report["sort_order_ms"]
-    )
-    report["est_kernel_incoherent_ms"] = (
-        report["closest_incoherent_ms"]
-        - report["gmin_plus_wmeta_ms"]
-        - report["sort_order_ms"]
-    )
-    est_trav = 4 * report["closest_incoherent_ms"] + 4 * report["anyhit_incoherent_ms"]
-    report["est_integrator_ms"] = report["frame_ms"] - est_trav
+        report["est_integrator_ms"] = report["frame_ms"] - est
     print(json.dumps(report, indent=2))
 
 

@@ -169,8 +169,6 @@ class RenderOptions(NamedTuple):
     use_env_map: bool = False
     accel: str = "bvh2"  # {"brute", "bvh2", "sbvh", "wide", "cwbvh"}
     traversal: str = "auto"  # {"auto", "xla", "pallas"} — Pallas MT kernel on TPU
-    wide_algo: str = "mega"  # {"mega", "stream", "consensus"} — wide traversal
-    stream_k: int = 16  # pending groups per ray per round (stream traversal)
     max_leaf: int = 4  # BVH leaf width (must match the uploaded build)
     ray_chunk: int = 8192  # traversal chunk size (coherence-sorted lax.map)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)

@@ -1,47 +1,58 @@
-"""Subtile-consensus traversal megakernel — the production wide-BVH walk.
+"""Packet-banded traversal megakernel — the production wide-BVH walk (v3).
 
-v2 of the tile-consensus design (v1 history: every XLA-side irregular op
-costs ~10-20 ns/index + ~2 ms fixed, so traversal must be ZERO-gather; the
-v1 kernel swept whole 1024-ray tiles with scalar-broadcast Möller–Trumbore
-and measured ~5 µs per 256-triangle group visit — VPU-saturated, meaning
-the only wins left are (a) fewer ray×triangle pairs and (b) fewer VPU flops
-per pair).  v2 gets both:
+Redesigned from the round-3 profile (benchmarks/PROFILE_r3.md).  The v2
+kernel swept every group that ANY of a subtile's 128 rays needed, at a
+measured 2.9 µs/sweep — for incoherent bounce rays the 128-lane union is
+~64 groups while each ray truly needs ~1.06, so v2 bounce traversals were
+effectively brute force.  v3 attacks exactly that consensus tax:
 
-  (a) **128-ray subtiles.**  The visit decision ("does any lane still need
-      this group?") is consensus over 128 rays instead of 1024.  The XLA
-      side still culls + front-to-back sorts the group worklist per
-      1024-ray supertile (cheap, amortized); each subtile then re-tests
-      every worklist entry against its own 128 rays inside the kernel
-      ((8 groups × 128 rays) slab tests per step, full VPU tiles) and
-      sweeps only groups its own rays can hit.  Incoherent bounce tiles
-      drop from ~360 visited groups (supertile union) to the subtile
-      union, and the DMA ring only fetches blocks the subtile will sweep.
+  1. **Ray packets share ONE banded matmul.**  Packet p's ray variants
+     occupy contraction rows 8p..8p+8 of the od matrix; its group's
+     Baldwin–Weber planes are DMA'd into the same sublane band of the
+     ring slot.  Zero blocks elsewhere make the banded matmul evaluate a
+     DIFFERENT group per packet in one MXU pass — and since the sweep is
+     output-bound (~21 pairs/cycle at any K), packets cost nothing
+     extra.  Steps per tile = max over packets of the per-packet union
+     instead of the 128-ray union (4 packets of 32 measured fastest
+     end-to-end; 16-ray packets save fewer sweeps than their extra
+     cursor scans cost).
 
-  (b) **Baldwin–Weber plane intersection on the MXU.**  Each triangle is
-      precomputed (host, float64) into three planes — normal plane
-      (n, d_n) and two barycentric planes (p_u, d_u), (p_v, d_v) with
-      t = -(n·o+d_n)/(n·d), u = (p_u·o+d_u) + t·(p_u·d), v likewise
-      (Baldwin & Weber, JCGT 2016 — algebraically equal to Möller–Trumbore,
-      validated to ~2e-6 on hits).  All six dot products for a whole
-      (128 rays × Kg triangles) visit become ONE matmul
-      (8, 3·Kg)ᵀ×(8, 256): the MXU eats the dots while the VPU does only
-      ~12 elementwise ops/pair (divide, two FMAs, compares, min-reduce) —
-      ~4× less VPU work than inlined Möller–Trumbore.
+  2. **Static per-octant front-to-back group order** (host precompute:
+     groups sorted by centroid along the octant's travel diagonal)
+     replaces v2's per-supertile XLA cull + sort (`_tile_gmin`, ~12 ms of
+     XLA prep per traversal) — per-traversal XLA work is now just the
+     coherence sort of the rays.
 
-The any-hit variant has a TRUE early exit: a lane that finds any hit drops
-out of the tile consensus (its bound goes to -inf), so the loop terminates
-as soon as every live lane is occluded (`path_trace.fs:703-708` is the
-per-ray reference behavior; this is its tile-consensus analog).
+  3. **Phase A stores per-(entry, packet) slab minima** (computed on
+     the MXU as outer products, windowed lane-min'd into a (gpad, 128)
+     table), so per-packet cursors scan 128 entries per vector op and
+     terminate: a packet stops when no remaining entry's slab entry-t
+     beats the packet's worst live bound (which only tightens).
 
-Exact-enough vs brute force: hit *selection* uses Baldwin–Weber t values
-(~1e-6 relative of the Möller–Trumbore t); the integrator re-derives
-(t, u, v) differentiably from the winning triangle id (`intersect.refine_hit`),
-so shading math is unaffected.  Tests accept id-or-t-close agreement.
+  4. **Octant-major, origin-group-minor ray sort**: octant major keeps
+     each tile on one valid front-to-back order; origin group (the group
+     that produced the ray's origin — the previous traversal's winning
+     group, a free kernel output) packs rays from the same surface patch
+     into the same packets — measured 28 → 9.6 steps/tile on diffuse
+     bounce rays, because a diffuse bounce's hit is usually near its
+     origin.
+
+Reference behavior this implements: closest-hit / any-hit queries of
+`/root/reference/Shader/path_trace.fs:511-819` (the per-fragment stack
+traversals), re-architected for a vector machine.  The any-hit early exit
+(`path_trace.fs:703-708`) appears as per-packet termination when every
+live lane is occluded.
+
+Exactness: hit *selection* uses Baldwin–Weber t values (≈1e-6 relative of
+Möller–Trumbore); the integrator re-derives (t, u, v) differentiably from
+the winning triangle id (`intersect.refine_hit`), so shading is
+unaffected.  The kernel therefore only outputs (t, tri, group).
 """
 
 from __future__ import annotations
 
 import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,19 +61,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 1e9
-SUPER = 1024  # rays per supertile (XLA cull + sort granularity)
-SUB = 128  # rays per subtile (kernel consensus granularity)
-SUBT = SUPER // SUB
+TILE = 128  # rays per kernel tile (= VPU lane width)
+PACKETS = 4  # ray packets per tile (4×32 measured best; see PROFILE_r3.md)
+PSUB = TILE // PACKETS  # rays per packet
+KBAND = 8  # contraction rows per packet band (= plane block rows)
 CHUNK = 262144  # rays per kernel launch
-DEPTH = 8  # DMA ring depth (triangle-block prefetch distance)
-_NO_TMAX = os.environ.get("MEGA_NO_TMAX") == "1"
-_NO_SWEEP = os.environ.get("MEGA_NO_SWEEP") == "1"
+DEPTH = 4  # DMA ring depth (steps prefetched ahead)
 _STATS = os.environ.get("MEGA_STATS") == "1"  # extra (n_sub, 8, 128) i32
-# output: row 0 = sweeps done, row 1 = own-pending entries (diagnostics)
+# output: row 0 = sweep steps executed by the tile (diagnostics)
+_PHASE_A_ONLY = os.environ.get("MEGA_PHASE_A_ONLY") == "1"  # perf probe
+_NO_SWEEP = os.environ.get("MEGA_NO_SWEEP") == "1"  # perf probe
+
+
+_FORCE_KERNEL = os.environ.get("MEGA_FORCE_KERNEL") == "1"
+
+
+def _use_kernel():
+    """The Pallas kernel runs compiled on TPU; on CPU backends the
+    mathematically-identical dense XLA reference below is used instead
+    (interpret-mode per-op dispatch makes the kernel's while-loops
+    ~1000× slower than compiled — fine for one smoke test, unusable for
+    the suite).  MEGA_FORCE_KERNEL=1 forces the interpreted kernel."""
+    return jax.default_backend() == "tpu" or _FORCE_KERNEL
 
 
 def _interp():
     return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Host precompute
+# ---------------------------------------------------------------------------
 
 
 def pack_mega(packed_tris, tri_index):
@@ -107,203 +136,284 @@ def pack_mega(packed_tris, tri_index):
     return out
 
 
-def _tile_gmin(o, d, t_lim, bounds, n_tiles, gpad):
-    """Dense XLA cull: per (supertile, group) min t_near over the tile's
-    rays, chunked so the (rays, G) intermediate stays ~100 MB.  Returns
-    (n_tiles, gpad) f32 (INF = tile skips group)."""
-    g = bounds.shape[0]
-    tiles_per_chunk = max(1, min(n_tiles, 32 * 1024 * 1024 // (SUPER * g // 8)))
+def pack_octants(group_bounds, tri_starts):
+    """Host precompute of the 8 static per-octant worklists.
 
-    def cull(args):
-        oc, dc, tc = args
-        tn = None
-        tf = None
-        di = 1.0 / dc
-        for a in range(3):
-            t0 = (bounds[None, :, a] - oc[:, a : a + 1]) * di[:, a : a + 1]
-            t1 = (bounds[None, :, a + 3] - oc[:, a : a + 1]) * di[:, a : a + 1]
-            lo = jnp.minimum(t0, t1)
-            hi = jnp.maximum(t0, t1)
-            tn = lo if tn is None else jnp.maximum(tn, lo)
-            tf = hi if tf is None else jnp.minimum(tf, hi)
-        hit = (tf > 0) & (tf >= tn) & (tn < tc[:, None])
-        tn = jnp.where(hit, jnp.maximum(tn, 0.0), INF)
-        return jnp.min(tn.reshape(-1, SUPER, g), axis=1)
+    For direction octant o (bit 2/1/0 set = dx/dy/dz negative), groups are
+    ordered front-to-back along the travel diagonal (ascending
+    Σ_a sign_a · centroid_a, axes normalized by scene extent).  Returns
+      oct_bounds: (8, gpad, 16) f32 — cols 0-5 = bmin/bmax per entry,
+                  sublane-major so the kernel's phase A slab-tests octets
+                  of 8 entries against all 128 rays (padding entries are
+                  NaN so every slab test misses),
+      oct_gid:    (8, gpad) i32 — group id per entry,
+      oct_start:  (8, gpad) i32 — group's first global triangle id.
+    gpad = G padded to a multiple of 128 (the kernel scans 128-entry
+    blocks)."""
+    group_bounds = np.asarray(group_bounds, np.float32)
+    tri_starts = np.asarray(tri_starts, np.int32)
+    g = group_bounds.shape[0]
+    gpad = max(128, -(-g // 128) * 128)
+    cen = 0.5 * (group_bounds[:, :3] + group_bounds[:, 3:])
+    lo = cen.min(axis=0) if g else np.zeros(3)
+    hi = cen.max(axis=0) if g else np.ones(3)
+    cen_n = (cen - lo) / np.maximum(hi - lo, 1e-12)
 
-    nc = -(-n_tiles // tiles_per_chunk)
-    tpc = tiles_per_chunk
-    pad_tiles = nc * tpc - n_tiles
-    rs = lambda x: jnp.concatenate(
-        [x, jnp.zeros((pad_tiles * SUPER,) + x.shape[1:], x.dtype)]
-    ).reshape((nc, tpc * SUPER) + x.shape[1:]) if pad_tiles else x.reshape(
-        (nc, tpc * SUPER) + x.shape[1:]
-    )
-    gmin = lax.map(cull, (rs(o), rs(d), rs(t_lim)))
-    gmin = gmin.reshape(nc * tpc, g)[:n_tiles]
-    if gpad > g:
-        gmin = jnp.concatenate(
-            [gmin, jnp.full((n_tiles, gpad - g), INF, jnp.float32)], axis=1
+    oct_bounds = np.full((8, gpad, 16), np.nan, np.float32)
+    oct_gid = np.zeros((8, gpad), np.int32)
+    oct_start = np.zeros((8, gpad), np.int32)
+    for o in range(8):
+        sign = np.array(
+            [-1.0 if o & 4 else 1.0, -1.0 if o & 2 else 1.0,
+             -1.0 if o & 1 else 1.0],
+            np.float32,
         )
-    gids = jnp.broadcast_to(
-        jnp.arange(gpad, dtype=jnp.int32)[None, :], gmin.shape
-    )
-    gmin, gids = lax.sort((gmin, gids), dimension=1, num_keys=1)
-    return gmin, gids
+        order = np.argsort(cen_n @ sign, kind="stable").astype(np.int32)
+        oct_bounds[o, :g, 0:6] = group_bounds[order]
+        oct_bounds[o, :g, 6:16] = 0.0
+        oct_gid[o, :g] = order
+        oct_start[o, :g] = tri_starts[order]
+    return oct_bounds, oct_gid, oct_start
 
 
-def _build_wmeta(gmin, gids, bounds, starts):
-    """Per-supertile worklist metadata, sublane-major (one row per
-    worklist entry so the kernel's dynamic per-entry reads index the
-    sublane dimension, which Mosaic supports): (n_super, gpad, 16) f32
-    with columns 0-5 = bmin/bmax, 6 = group's first triangle id,
-    7 = sorted gmin, 8 = group id (for the DMA), 9-15 = zero.  Bounds and
-    starts are gathered into worklist order here (one small XLA gather per
-    traversal; the kernel then only ever does sequential reads)."""
-    n_super, gpad = gmin.shape
-    g = bounds.shape[0]
-    meta = jnp.concatenate(
-        [bounds, starts.astype(jnp.float32)[:, None]], axis=1
-    )  # (G, 7)
-    if gpad > g:
-        meta = jnp.concatenate(
-            [meta, jnp.zeros((gpad - g, 7), jnp.float32)], axis=0
-        )
-    sorted_meta = meta[gids]  # (n_super, gpad, 7)
-    return jnp.concatenate(
-        [
-            sorted_meta,
-            gmin[:, :, None],  # col 7
-            gids.astype(jnp.float32)[:, :, None],  # col 8
-            jnp.zeros((n_super, gpad, 7), jnp.float32),
-        ],
-        axis=2,
-    )
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
 
 
-def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
-    kp = kp3 // 3
+def _make_kernel(gpad: int, kp: int, anyhit: bool):
+    kp3 = 3 * kp
+
 
     def kernel(
-        rays_cm_ref,  # (1, 8, 128) rows [ox,oy,oz,dx,dy,dz,tlim,·]
-        wmeta_ref,  # (1, gpad, 16) worklist metadata (see _build_wmeta)
+        oct_ref,  # (n_sub,) i32 scalar-prefetch: tile's direction octant
+        gids_ref,  # (8, gpad) i32 scalar-prefetch: group id per entry
+        starts_ref,  # (8, gpad) i32 scalar-prefetch: first tri id per entry
+        rays_cm_ref,  # (1, 8, 128) f32 rows [ox,oy,oz,dx,dy,dz,tlim,·]
+        wmeta_ref,  # (1, gpad, 16) f32 — octant worklist bounds (cols 0-5)
         tris_hbm,  # (G, 8, 3·Kp) ANY — Baldwin–Weber plane blocks
         *refs,
     ):
         if _STATS:
             stats_ref, refs = refs[0], refs[1:]
-        else:
-            stats_ref = None
         if anyhit:
-            (
-                hit_ref,
-                od_ref, own_ref, ring, sem, bt_ref, aux_ref, tmax_ref, st_ref,
-            ) = refs
-            bu_ref = bv_ref = None
+            (hit_ref, od_ref, bd_ref, bm_ref, ring, sem,
+             bt_ref, aux_ref, tmax_ref, cur_ref, sl_ref) = refs
+            gw_ref = None
         else:
-            (
-                t_ref, tri_ref, u_ref, v_ref,
-                od_ref, own_ref, ring, sem, bt_ref, aux_ref, bu_ref, bv_ref,
-                tmax_ref, st_ref,
-            ) = refs
+            (t_ref, tri_ref, gw_out_ref, od_ref, bd_ref, bm_ref,
+             ring, sem, bt_ref, aux_ref, gw_ref, tmax_ref, cur_ref,
+             sl_ref) = refs
+        # SMEM layout:
+        #   tmax_ref (PACKETS,) f32 — per-packet max live bound
+        #   cur_ref  (PACKETS + 2,) i32 — per-packet cursor; [8] = step;
+        #            [9] = stats step counter
+        #   sl_ref   (DEPTH * PACKETS, 3) i32 — per (slot, packet):
+        #            [valid, tri_start, group_id]
+        oct = oct_ref[pl.program_id(0)]
         rc = rays_cm_ref[0]  # (8, 128)
         tlim = rc[6:7, :]  # (1, 128)
-        gpad = wmeta_ref.shape[1]
 
-        # --- ray-variant matrix for the visit matmul: cols 0-127 [o;1],
-        # cols 128-255 [d;0] (rows = the plane blocks' K axis).
-        od_ref[:, :] = jnp.zeros((8, 256), jnp.float32)
-        od_ref[0:3, 0:128] = rc[0:3, :]
-        od_ref[3:4, 0:128] = jnp.ones((1, 128), jnp.float32)
-        od_ref[0:3, 128:256] = rc[3:6, :]
+        # --- od matrix for the banded matmul: packet p's 16 ray columns
+        # carry [o;1] (cols 16p..) and [d;0] (cols 128+16p..) in
+        # contraction rows 8p..8p+8; everything else is zero.
+        od_ref[:, :] = jnp.zeros((PACKETS * KBAND, 256), jnp.float32)
+        for p in range(PACKETS):
+            s = PSUB * p
+            r0 = KBAND * p
+            od_ref[r0 : r0 + 3, s : s + PSUB] = rc[0:3, s : s + PSUB]
+            od_ref[r0 + 3 : r0 + 4, s : s + PSUB] = jnp.ones(
+                (1, PSUB), jnp.float32
+            )
+            od_ref[r0 : r0 + 3, 128 + s : 128 + s + PSUB] = rc[
+                3:6, s : s + PSUB
+            ]
 
-        # --- phase A: own-subtile cull.  For every worklist entry, the
-        # min slab-entry t over THIS subtile's 128 rays (INF = skip).
-        # Each step slab-tests an octet of 8 worklist entries (sublanes)
-        # against all 128 rays (lanes) — full (8, 128) VPU tiles.
-        ox = [rc[a : a + 1, :] for a in range(3)]
-        dinv = [1.0 / rc[3 + a : 4 + a, :] for a in range(3)]
+        # --- phase A: per-(entry, lane) slab entry-t + per-packet block
+        # minima, computed on the MXU.  The slab arithmetic
+        #   t0[k, l] = (bound[k] - o[l]) · dinv[l] = bound[k]·dinv[l]
+        #              - (o·dinv)[l]
+        # is six outer products — ONE block-diagonal K=8 matmul of the
+        # worklist bounds (gpad, 8) against a (8, 768) matrix whose
+        # column-block a carries dinv_a (bmin) / dinv_a again (bmax).
+        # (The per-octet VPU formulation measured 0.35 µs per 8 entries —
+        # sublane-value broadcasts are slow; the MXU is output-bound at
+        # 128 values/cycle, ~7 µs for the whole 1152-entry table.)
+        # Stores bm_ref[k, l] = min over lanes [l, l+PSUB) of ray-lane
+        # slab entry-t for entry k (INF = miss); only lanes PSUB·p are
+        # read — packet p's pending minimum, driving the 128-entry cursor
+        # block scans.  (A per-lane-exact issue test was tried and lost:
+        # its VMEM row read + reduce + cond per candidate cost more than
+        # the extra sweeps it avoided — see PROFILE_r3.md.)
+        # Clamp |d| ≥ 1e-12: the factored slab form bound·dinv − o·dinv
+        # would otherwise produce 0·inf = NaN for axis-aligned rays
+        # against bounds at 0 (the subtract-first form never does).  A
+        # parallel-outside ray then yields entry t ≥ ~1e10, which the
+        # t < t_lim acceptance rejects.
+        def _dinv(a):
+            da = rc[3 + a : 4 + a, :]
+            da = jnp.where(
+                jnp.abs(da) < 1e-12,
+                jnp.where(da < 0, -1e-12, 1e-12),
+                da,
+            )
+            return 1.0 / da
 
-        def octet(c, _):
+        dinv = [_dinv(a) for a in range(3)]
+        odinv = [rc[a : a + 1, :] * dinv[a] for a in range(3)]
+        bd_ref[:, :] = jnp.zeros((8, 768), jnp.float32)
+        for a in range(3):
+            bd_ref[a : a + 1, 128 * a : 128 * (a + 1)] = dinv[a]
+            bd_ref[a + 3 : a + 4, 128 * (a + 3) : 128 * (a + 4)] = dinv[a]
+
+        chunks = []
+        _c0 = 0
+        while _c0 < gpad:  # static chunking (bounds VMEM of the r value)
+            chunks.append((_c0, min(1024, gpad - _c0)))
+            _c0 += chunks[-1][1]
+        for c0, chk in chunks:
+            w = wmeta_ref[0, c0 : c0 + chk, 0:8]  # (chk, 8)
+            r = lax.dot_general(
+                w,
+                bd_ref[:, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )  # (chk, 768): block a = bound_a ⊗ dinv_a
             tn = None
             tf = None
             for a in range(3):
-                bmn = wmeta_ref[0, pl.ds(c * 8, 8), a : a + 1]
-                bmx = wmeta_ref[0, pl.ds(c * 8, 8), a + 3 : a + 4]
-                t0 = (bmn - ox[a]) * dinv[a]
-                t1 = (bmx - ox[a]) * dinv[a]
+                t0 = r[:, 128 * a : 128 * (a + 1)] - odinv[a]
+                t1 = r[:, 128 * (a + 3) : 128 * (a + 4)] - odinv[a]
                 lo = jnp.minimum(t0, t1)
                 hi = jnp.maximum(t0, t1)
                 tn = lo if tn is None else jnp.maximum(tn, lo)
                 tf = hi if tf is None else jnp.minimum(tf, hi)
             ok = (tf > 0) & (tf >= tn) & (tn < tlim)
-            gt = jnp.where(ok, jnp.maximum(tn, 0.0), INF)
-            own8 = jnp.min(gt, axis=1, keepdims=True)  # (8, 1)
-            # Mask entries the supertile already ruled out (also kills the
-            # padded worklist tail, whose inverted sentinel boxes would
-            # otherwise pass the min/max slab test).
-            own8 = jnp.where(
-                wmeta_ref[0, pl.ds(c * 8, 8), 7:8] < INF, own8, INF
-            )
-            own_ref[pl.ds(c * 8, 8), 0:1] = own8
-            return 0
+            tnm = jnp.where(ok, jnp.maximum(tn, 0.0), INF)
+            bm = tnm  # windowed lane-min: lane l covers [l, l+PSUB-1]
+            sh = 1
+            while sh < PSUB:
+                # roll(x, 128-sh) ≡ shift by -sh: lane l reads lane l+sh
+                bm = jnp.minimum(bm, pltpu.roll(bm, 128 - sh, 1))
+                sh *= 2
+            bm_ref[c0 : c0 + chk, :] = bm
 
-        lax.fori_loop(0, gpad // 8, octet, 0)
-
-        n_pend = jnp.sum(
-            (wmeta_ref[0, :, 7:8] < INF).astype(jnp.int32)
-        )
-
-        def dma(k, slot):
-            g = wmeta_ref[0, k, 8].astype(jnp.int32)
-            return pltpu.make_async_copy(
-                tris_hbm.at[g], ring.at[slot], sem.at[slot]
-            )
-
-        # --- prologue: issue the first DEPTH own-pending blocks.
-        def pro_cond(s):
-            cnt, kd = s
-            return (cnt < DEPTH) & (kd < n_pend)
-
-        def pro_body(s):
-            cnt, kd = s
-            pend = own_ref[kd, 0] < INF
-
-            @pl.when(pend)
-            def _():
-                dma(kd, cnt % DEPTH).start()
-
-            return (cnt + jnp.where(pend, 1, 0), kd + 1)
-
-        ni0, kd0 = lax.while_loop(pro_cond, pro_body, (0, 0))
-        st_ref[0] = kd0  # scan head (next worklist index to consider issuing)
-        st_ref[1] = 0  # nv: own-pending entries consumed
-        st_ref[2] = ni0  # ni: own-pending entries issued
-        st_ref[3] = 0  # sweeps done (stats)
-
-        # --- phase B: walk the worklist in supertile front-to-back order.
-        # All mutable state lives in refs (SMEM scalars + VMEM accumulator
-        # rows) so the per-entry skip path carries NOTHING — a loop-carried
-        # vector accumulator would force register copies on every branch
-        # (~120 ns/entry measured), which dominated an earlier version.
+        # --- state init
         bt_ref[0:1, :] = tlim
-        aux_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)  # tri / hit
+        aux_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)
         if not anyhit:
-            bu_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
-            bv_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
-        tmax_ref[0] = jnp.max(tlim)
+            gw_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)
+        for p in range(PACKETS):
+            tmax_ref[p] = jnp.max(tlim[0:1, PSUB * p : PSUB * (p + 1)])
+            cur_ref[p] = 0
+        cur_ref[PACKETS + 1] = 0  # stats: sweep steps
 
-        def cond(k):
-            k_safe = jnp.minimum(k, gpad - 1)  # k == n_pend at loop exit
-            return (k < n_pend) & (wmeta_ref[0, k_safe, 7] < tmax_ref[0])
+        lane_iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        lane_pkt = lane_iota // PSUB  # lane → packet id
+        sub_iota = lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
-        def sweep(k, slot):
-            p = ring[slot]  # (8, 3·Kp)
+        def scan_next(p, k0):
+            """Next worklist entry ≥ k0 that SOME ray of packet p still
+            needs (its slab entry-t beats that ray's own current bound);
+            gpad if none.  One vector op scans a 128-entry block of the
+            packet-min column."""
+
+            def cond(st):
+                k2, m = st
+                return (m >= gpad) & (k2 < gpad)
+
+            def body(st):
+                k2, _ = st
+                kb = k2 // 128
+                col = bm_ref[pl.ds(kb * 128, 128), PSUB * p : PSUB * p + 1]
+                si = sub_iota + kb * 128
+                ok = (col < tmax_ref[p]) & (si >= k2)
+                m2 = jnp.min(jnp.where(ok, si, gpad))
+                return ((kb + 1) * 128, m2)
+
+            _, m = lax.while_loop(
+                cond, body, (jnp.int32(k0), jnp.int32(gpad))
+            )
+            return m
+
+        def issue(slot):
+            """Advance every packet's cursor once; DMA its next group's
+            plane block into the slot's sublane band."""
+            for p in range(PACKETS):
+                k = scan_next(p, cur_ref[p])
+                good = k < gpad
+
+                @pl.when(good)
+                def _(p=p, k=k, slot=slot):
+                    g = gids_ref[oct, k]
+                    pltpu.make_async_copy(
+                        tris_hbm.at[g],
+                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                        sem.at[slot, p],
+                    ).start()
+                    sl_ref[slot * PACKETS + p, 0] = 1
+                    sl_ref[slot * PACKETS + p, 1] = starts_ref[oct, k]
+                    sl_ref[slot * PACKETS + p, 2] = g
+
+                @pl.when(jnp.logical_not(good))
+                def _(p=p, slot=slot):
+                    sl_ref[slot * PACKETS + p, 0] = 0
+
+                cur_ref[p] = jnp.where(good, k + 1, gpad)
+
+        # --- prologue: fill the ring DEPTH steps ahead (cursors only
+        # ever exhaust, so the main loop stops at the first empty slot).
+        if _PHASE_A_ONLY:
+            # consume phase A output so it isn't dead-code-eliminated
+            bt_ref[0:1, :] = jnp.minimum(bt_ref[0:1, :], bm_ref[0:1, :])
+            for s in range(DEPTH * PACKETS):
+                sl_ref[s, 0] = 0
+        _range = () if _PHASE_A_ONLY else range(DEPTH)
+        for s in _range:
+            issue(s)
+
+        def smem_vec(slot, col):
+            """(1, 128) vector from the slot's 8 per-packet SMEM scalars
+            (sl_ref column `col`), broadcast to each packet's 16 lanes."""
+            v = jnp.zeros((1, 128), jnp.int32)
+            for p in range(PACKETS):
+                v = jnp.where(
+                    lane_pkt == p, sl_ref[slot * PACKETS + p, col], v
+                )
+            return v
+
+        def step_cond(s):
+            slot = s % DEPTH
+            alive = 0
+            for p in range(PACKETS):
+                alive = alive + sl_ref[slot * PACKETS + p, 0]
+            return alive > 0
+
+        def step_body(s):
+            slot = s % DEPTH
+            valid = smem_vec(slot, 0)
+            startv = smem_vec(slot, 1)
+            gidv = smem_vec(slot, 2)
+            for p in range(PACKETS):
+                @pl.when(sl_ref[slot * PACKETS + p, 0] > 0)
+                def _(p=p, slot=slot):
+                    pltpu.make_async_copy(
+                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                        sem.at[slot, p],
+                    ).wait()
+
+            if _NO_SWEEP:  # perf probe: DMA + scheduling only
+                cur_ref[PACKETS + 1] = cur_ref[PACKETS + 1] + 1
+                issue(slot)
+                return s + 1
             r = lax.dot_general(
-                p,
-                od_ref[:, :],
+                ring[slot],  # (64, 3·Kp)
+                od_ref[:, :],  # (64, 256)
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,  # f32 passes, not bf16
+                precision=lax.Precision.HIGHEST,
             )  # (3·Kp, 256)
             an = r[0:kp, 0:128]
             bn = r[0:kp, 128:256]
@@ -315,76 +425,59 @@ def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
             u = au + t * bu
             v = av + t * bv
             bt = bt_ref[0:1, :]
-            okm = (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t >= 0) & (t < bt)
+            okm = (
+                (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t >= 0) & (t < bt)
+                & (valid > 0)
+            )
             if anyhit:
                 hit_any = jnp.any(okm, axis=0, keepdims=True)
                 aux_ref[0:1, :] = jnp.maximum(
                     aux_ref[0:1, :], hit_any.astype(jnp.int32)
                 )
                 new_bt = jnp.where(hit_any, -INF, bt)
-                bt_ref[0:1, :] = new_bt
-                if not _NO_TMAX:
-                    tmax_ref[0] = jnp.max(new_bt)
-                return
-            tm = jnp.where(okm, t, INF)
-            vmin = jnp.min(tm, axis=0, keepdims=True)
-            improved = vmin < bt
-            sel = tm == vmin
-            rid = jax.lax.broadcasted_iota(jnp.int32, (kp, 128), 0)
-            vrow = jnp.min(jnp.where(sel, rid, kp), axis=0, keepdims=True)
-            start = wmeta_ref[0, k, 6].astype(jnp.int32)
-            uc = jnp.min(jnp.where(sel, u, INF), axis=0, keepdims=True)
-            vc = jnp.min(jnp.where(sel, v, INF), axis=0, keepdims=True)
-            new_bt = jnp.where(improved, vmin, bt)
+            else:
+                tm = jnp.where(okm, t, INF)
+                vmin = jnp.min(tm, axis=0, keepdims=True)
+                improved = vmin < bt
+                # packed argmin: one reduce carries the winner row in the
+                # low 8 bits (t granularity 2^-15 relative; exact t keeps
+                # the bound tight via vmin above).
+                rid = lax.broadcasted_iota(jnp.int32, (kp, 128), 0)
+                key = (
+                    (pltpu.bitcast(tm, jnp.int32) & jnp.int32(~0xFF)) | rid
+                )
+                kmin = jnp.min(key, axis=0, keepdims=True)
+                row = kmin & 0xFF
+                new_bt = jnp.where(improved, vmin, bt)
+                aux_ref[0:1, :] = jnp.where(
+                    improved, startv + row, aux_ref[0:1, :]
+                )
+                gw_ref[0:1, :] = jnp.where(improved, gidv, gw_ref[0:1, :])
             bt_ref[0:1, :] = new_bt
-            aux_ref[0:1, :] = jnp.where(improved, start + vrow, aux_ref[0:1, :])
-            bu_ref[0:1, :] = jnp.where(improved, uc, bu_ref[0:1, :])
-            bv_ref[0:1, :] = jnp.where(improved, vc, bv_ref[0:1, :])
-            if not _NO_TMAX:
-                tmax_ref[0] = jnp.max(new_bt)
+            for p in range(PACKETS):
+                tmax_ref[p] = jnp.max(
+                    new_bt[0:1, PSUB * p : PSUB * (p + 1)]
+                )
+            cur_ref[PACKETS + 1] = cur_ref[PACKETS + 1] + 1
+            issue(slot)  # refill the slot DEPTH steps ahead
+            return s + 1
 
-        def body(k):
-            own_k = own_ref[k, 0]
+        s_end = lax.while_loop(step_cond, step_body, 0)
 
-            @pl.when(own_k < INF)
-            def _():
-                nv = st_ref[1]
-                slot = nv % DEPTH
-                dma(k, slot).wait()  # consume this slot's signal
-
-                if not _NO_SWEEP:
-                    @pl.when(own_k < tmax_ref[0])
-                    def _():
-                        sweep(k, slot)
-                        st_ref[3] = st_ref[3] + 1
-
-                # Refill the freed slot: scan to the next own-pending entry.
-                def scan_cond(kd2):
-                    kd2s = jnp.minimum(kd2, gpad - 1)
-                    return (kd2 < n_pend) & (own_ref[kd2s, 0] >= INF)
-
-                kd = lax.while_loop(scan_cond, lambda s: s + 1, st_ref[0])
-
-                @pl.when(kd < n_pend)
-                def _():
-                    dma(kd, slot).start()
-                    st_ref[2] = st_ref[2] + 1
-
-                st_ref[0] = kd + 1
-                st_ref[1] = nv + 1
-
-            return k + 1
-
-        lax.while_loop(cond, body, 0)
-
-        # Drain DMAs issued past the early-termination point.
+        # --- drain in-flight DMAs of the unprocessed ring slots.
         def drain(j, _):
-            pltpu.make_async_copy(
-                ring.at[j % DEPTH], ring.at[j % DEPTH], sem.at[j % DEPTH]
-            ).wait()
+            slot = j % DEPTH
+            for p in range(PACKETS):
+                @pl.when(sl_ref[slot * PACKETS + p, 0] > 0)
+                def _(p=p, slot=slot):
+                    pltpu.make_async_copy(
+                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                        sem.at[slot, p],
+                    ).wait()
             return 0
 
-        lax.fori_loop(st_ref[1], st_ref[2], drain, 0)
+        lax.fori_loop(s_end + 1, s_end + DEPTH, drain, 0)
 
         if anyhit:
             hit_ref[0] = jnp.broadcast_to(
@@ -393,109 +486,116 @@ def _make_kernel(n_groups: int, kp3: int, anyhit: bool):
         else:
             t_ref[0] = jnp.broadcast_to(bt_ref[0:1, :], (8, 128))
             tri_ref[0] = jnp.broadcast_to(aux_ref[0:1, :], (8, 128))
-            u_ref[0] = jnp.broadcast_to(bu_ref[0:1, :], (8, 128))
-            v_ref[0] = jnp.broadcast_to(bv_ref[0:1, :], (8, 128))
+            gw_out_ref[0] = jnp.broadcast_to(gw_ref[0:1, :], (8, 128))
         if _STATS:
-            row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            rowi = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             stats_ref[0] = jnp.where(
-                row == 0, st_ref[3], jnp.where(row == 1, n_pend, 0)
+                rowi == 0, cur_ref[PACKETS + 1], 0
             )
 
     return kernel
 
 
-def _launch(o, d, t_lim, bounds, starts, planes, anyhit=False):
-    """One chunk (ray count a multiple of SUPER)."""
+def _launch(o, d, t_lim, oct_tile, oct_bounds, oct_gid, oct_start, planes,
+            anyhit=False):
+    """One chunk (ray count a multiple of TILE)."""
     n = o.shape[0]
     g, _, kp3 = planes.shape
-    gpad = -(-g // 8) * 8
-    n_super = n // SUPER
-    n_sub = n // SUB
-    gmin, gids = _tile_gmin(o, d, t_lim, bounds, n_super, gpad)
-    wmeta = _build_wmeta(gmin, gids, bounds, starts)
+    kp = kp3 // 3
+    gpad = oct_gid.shape[1]
+    n_sub = n // TILE
 
     rays_cm = jnp.stack(
         [
-            o[:, 0].reshape(n_sub, SUB),
-            o[:, 1].reshape(n_sub, SUB),
-            o[:, 2].reshape(n_sub, SUB),
-            d[:, 0].reshape(n_sub, SUB),
-            d[:, 1].reshape(n_sub, SUB),
-            d[:, 2].reshape(n_sub, SUB),
-            t_lim.reshape(n_sub, SUB),
-            jnp.zeros((n_sub, SUB), jnp.float32),
+            o[:, 0].reshape(n_sub, TILE),
+            o[:, 1].reshape(n_sub, TILE),
+            o[:, 2].reshape(n_sub, TILE),
+            d[:, 0].reshape(n_sub, TILE),
+            d[:, 1].reshape(n_sub, TILE),
+            d[:, 2].reshape(n_sub, TILE),
+            t_lim.reshape(n_sub, TILE),
+            jnp.zeros((n_sub, TILE), jnp.float32),
         ],
         axis=1,
     )  # (n_sub, 8, 128)
-
-    kernel = _make_kernel(g, kp3, anyhit)
+    kernel = _make_kernel(gpad, kp, anyhit)
     sub_spec = pl.BlockSpec(
-        (1, 8, 128), lambda i, j: (i * SUBT + j, 0, 0), memory_space=pltpu.VMEM
+        (1, 8, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    out_specs = [sub_spec] * (1 if anyhit else 4)
+    out_specs = [sub_spec] * (1 if anyhit else 3)
     if anyhit:
         out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)]
     else:
-        out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.float32)] * 4
-        out_shape[1] = jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)
+        out_shape = [
+            jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32),
+        ]
     if _STATS:
-        # diagnostics output FIRST (kernel unpacks refs[0] as stats):
-        # per subtile, row 0 = sweeps done, row 1 = own-pending entries.
         out_specs = [sub_spec] + out_specs
-        out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)] + out_shape
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_super, SUBT),
+        out_shape = [jax.ShapeDtypeStruct((n_sub, 8, 128), jnp.int32)] + (
+            out_shape
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_sub,),
         in_specs=[
             sub_spec,
             pl.BlockSpec(
-                (1, gpad, 16), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, gpad, 16),
+                lambda i, oct_r, *_: (oct_r[i], 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=out_specs,
-        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((8, 256), jnp.float32),  # od
-            pltpu.VMEM((gpad, 8), jnp.float32),  # own gmin (col 0)
-            pltpu.VMEM((DEPTH, 8, kp3), jnp.float32),  # DMA ring
-            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((PACKETS * KBAND, 256), jnp.float32),  # od
+            pltpu.VMEM((8, 768), jnp.float32),  # bd (phase A block-diag)
+            pltpu.VMEM((gpad, 128), jnp.float32),  # bm (packet window min)
+            pltpu.VMEM((DEPTH, PACKETS * KBAND, kp3), jnp.float32),  # ring
+            pltpu.SemaphoreType.DMA((DEPTH, PACKETS)),
             pltpu.VMEM((8, 128), jnp.float32),  # bt (row 0)
             pltpu.VMEM((8, 128), jnp.int32),  # tri / hit (row 0)
         ]
-        + (
-            []
-            if anyhit
-            else [
-                pltpu.VMEM((8, 128), jnp.float32),  # bu (row 0)
-                pltpu.VMEM((8, 128), jnp.float32),  # bv (row 0)
-            ]
-        )
+        + ([] if anyhit else [pltpu.VMEM((8, 128), jnp.int32)])  # gwin
         + [
-            pltpu.SMEM((1,), jnp.float32),  # tmax
-            pltpu.SMEM((4,), jnp.int32),  # kd / nv / ni
+            pltpu.SMEM((PACKETS,), jnp.float32),  # tmax
+            pltpu.SMEM((PACKETS + 2,), jnp.int32),  # cursors + counters
+            pltpu.SMEM((DEPTH * PACKETS, 3), jnp.int32),  # slot meta
         ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=_interp(),
-    )(rays_cm, wmeta, planes)
-    take = lambda x: x[:, 0, :].reshape(n_sub * SUB)
+    )(oct_tile, oct_gid, oct_start, rays_cm, oct_bounds, planes)
+    take = lambda x: x[:, 0, :].reshape(n_sub * TILE)
     if _STATS:
         stats, outs = outs[0], outs[1:]
-        if anyhit:
-            return (stats, take(outs[0]))
         return (stats,) + tuple(take(x) for x in outs)
-    if anyhit:
-        return (take(outs[0]),)
     return tuple(take(x) for x in outs)
 
 
-def _sort_order(o, d, t_lim, bounds):
+# ---------------------------------------------------------------------------
+# XLA wrapper: coherence sort + chunking
+# ---------------------------------------------------------------------------
+
+
+def _sort_order(o, d, t_lim, og, bounds):
     """Coherence sort key per ray: [dead | direction octant | origin
-    morton].  Subtiles then hold 128 rays of one direction octant with
-    nearby origins, which shrinks the subtile's group union toward the
-    per-ray average — the whole point of subtile consensus.  Dead lanes
-    (t_lim = -INF) sort to the end, so late-bounce tiles become entirely
-    dead and exit after phase A (free ray compaction).  Returns
-    (order, inverse-order)."""
+    group | coarse origin morton].  Octant major keeps every tile's rays
+    on one static front-to-back worklist order (wrong-octant lanes would
+    converge their bounds last and defeat early termination — measured
+    28 vs 8 steps/tile).  Origin group (the group that produced the
+    ray's origin — the previous traversal's winning group, 0 for primary
+    rays) minor: bounce rays from the same surface patch land in the
+    same packets, shrinking each packet's group union toward the per-ray
+    average (measured oracle steps 15.9 → 5.3 vs morton at 16-ray
+    packets).  Dead lanes (t_lim = -INF) sort last, so late-bounce tiles
+    exhaust after phase A — free ray compaction.  Returns
+    (order, inverse, octants)."""
     smin = bounds[:, :3].min(axis=0)
     smax = bounds[:, 3:].max(axis=0)
     oct_ = (
@@ -504,32 +604,31 @@ def _sort_order(o, d, t_lim, bounds):
         | (d[:, 2] < 0).astype(jnp.uint32)
     )
     q = jnp.clip(
-        (o - smin[None, :]) / jnp.maximum(smax - smin, 1e-6)[None, :] * 63.0,
+        (o - smin[None, :]) / jnp.maximum(smax - smin, 1e-6)[None, :] * 7.0,
         0.0,
-        63.0,
+        7.0,
     ).astype(jnp.uint32)
 
-    def spread(x):
-        x = (x | (x << 10)) & 0x30000FF
-        x = (x | (x << 4)) & 0x30C30C3
-        x = (x | (x << 2)) & 0x9249249
+    def spread(x):  # 3 bits → every 3rd bit
+        x = (x | (x << 4)) & jnp.uint32(0x30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x9249)
         return x
 
     m = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-    key = (oct_ << 18) | (m & 0x3FFFF)
+    ogu = jnp.clip(og, 0, (1 << 14) - 1).astype(jnp.uint32)
+    key = (oct_ << 23) | (ogu << 9) | (m & 0x1FF)
     key = jnp.where(t_lim > -INF, key, jnp.uint32(0x7FFFFFFF))
     order = jnp.argsort(key)
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype)
     )
-    return order, inv
+    return order, inv, oct_
 
 
 def _scene_exit_bound(o, d, t_lim, bounds):
     """Clamp each ray's acceptance bound to its scene-bbox exit t: no hit
-    can exist past the exit, so miss rays stop holding the tile's `tmax`
-    at INF (what makes consensus early termination work for incoherent
-    ray sets)."""
+    can exist past the exit, so miss rays stop holding their packet's
+    `tmax` at INF (what makes per-packet termination work)."""
     smin = bounds[:, :3].min(axis=0)
     smax = bounds[:, 3:].max(axis=0)
     d_inv = 1.0 / d
@@ -542,28 +641,85 @@ def _scene_exit_bound(o, d, t_lim, bounds):
     return jnp.minimum(t_lim, exit_t)
 
 
-def _query(o, d, t_lim, bounds, starts, planes, anyhit=False, sort=True):
+def _xla_reference(o, d, t_lim, starts, planes, anyhit):
+    """Dense XLA evaluation of the same Baldwin–Weber plane math the
+    kernel's banded matmul performs — the non-TPU execution path (see
+    `_use_kernel`) and the oracle the kernel is tested against.  Sweeps
+    every group for every ray (no culling — correctness only), chunked
+    over groups to bound memory."""
+    n = o.shape[0]
+    g, _, kp3 = planes.shape
+    kp = kp3 // 3
+
+    def one_group(args):
+        pg, start = args  # (8, 3·Kp), ()
+        nv = pg[0:3, 0:kp]
+        dn = pg[3, 0:kp]
+        pu = pg[0:3, kp : 2 * kp]
+        du = pg[3, kp : 2 * kp]
+        pv = pg[0:3, 2 * kp : 3 * kp]
+        dv = pg[3, 2 * kp : 3 * kp]
+        an = o @ nv + dn[None, :]
+        bn = d @ nv
+        t = -an / bn
+        u = (o @ pu + du[None, :]) + t * (d @ pu)
+        v = (o @ pv + dv[None, :]) + t * (d @ pv)
+        ok = (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t >= 0) & (
+            t < t_lim[:, None]
+        )
+        if anyhit:
+            return jnp.any(ok, axis=1)
+        tm = jnp.where(ok, t, INF)
+        row = jnp.argmin(tm, axis=1).astype(jnp.int32)
+        tbest = jnp.take_along_axis(tm, row[:, None], axis=1)[:, 0]
+        return tbest, start + row
+
+    if anyhit:
+        hits = lax.map(one_group, (planes, starts))  # (G, N)
+        return (jnp.any(hits, axis=0).astype(jnp.int32),)
+    tb, tri = lax.map(one_group, (planes, starts))  # (G, N) each
+    gi = jnp.argmin(tb, axis=0)  # (N,) winning group index
+    tbest = jnp.take_along_axis(tb, gi[None, :], axis=0)[0]
+    tri = jnp.take_along_axis(tri, gi[None, :], axis=0)[0]
+    got = tbest < INF
+    return (
+        jnp.where(got, tbest, t_lim),
+        jnp.where(got, tri, -1),
+        jnp.where(got, gi.astype(jnp.int32), -1),
+    )
+
+
+def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, planes,
+           anyhit=False):
     n = o.shape[0]
     t_lim = _scene_exit_bound(o, d, t_lim, bounds)
-    if sort and n >= SUPER:
-        order, inv = _sort_order(o, d, t_lim, bounds)
-        o, d, t_lim = o[order], d[order], t_lim[order]
-    else:
-        inv = None
-    c = min(CHUNK, max(SUPER, -(-n // SUPER) * SUPER))
+    if not (_use_kernel() or _STATS):
+        # starts per GROUP id (not worklist order): group g's first tri.
+        g = planes.shape[0]
+        starts = jnp.zeros(g, jnp.int32).at[oct_gid[0, :g]].set(
+            oct_start[0, :g]
+        )
+        return _xla_reference(o, d, t_lim, starts, planes, anyhit)
+    order, inv, oct_ = _sort_order(o, d, t_lim, og, bounds)
+    o, d, t_lim, oct_ = o[order], d[order], t_lim[order], oct_[order]
+    c = min(CHUNK, max(TILE, -(-n // TILE) * TILE))
     pad = (-n) % c
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
         t_lim = jnp.concatenate([t_lim, jnp.full(pad, -INF, jnp.float32)])
+        oct_ = jnp.concatenate([oct_, jnp.zeros(pad, oct_.dtype)])
+    oct_tile = oct_[::TILE].astype(jnp.int32)
+    args = (oct_bounds, oct_gid, oct_start, planes)
     if o.shape[0] == c:
-        out = _launch(o, d, t_lim, bounds, starts, planes, anyhit=anyhit)
+        out = _launch(o, d, t_lim, oct_tile, *args, anyhit=anyhit)
     else:
         nc = o.shape[0] // c
         rs = lambda x: x.reshape((nc, c) + x.shape[1:])
+        rt = lambda x: x.reshape(nc, c // TILE)
         out = lax.map(
-            lambda a: _launch(*a, bounds, starts, planes, anyhit=anyhit),
-            (rs(o), rs(d), rs(t_lim)),
+            lambda a: _launch(*a, *args, anyhit=anyhit),
+            (rs(o), rs(d), rs(t_lim), rt(oct_tile)),
         )
         out = tuple(
             x.reshape((-1,) + x.shape[2:]) if _STATS and x.ndim > 2
@@ -572,41 +728,49 @@ def _query(o, d, t_lim, bounds, starts, planes, anyhit=False, sort=True):
         )
     if _STATS:  # diagnostics stay per-subtile (post-sort order)
         stats, out = out[0], out[1:]
-        if inv is not None:
-            return (stats,) + tuple(x[:n][inv] for x in out)
-        return (stats,) + tuple(x[:n] for x in out)
-    if inv is not None:
-        return tuple(x[:n][inv] for x in out)
-    return tuple(x[:n] for x in out)
+        return (stats,) + tuple(x[:n][inv] for x in out)
+    return tuple(x[:n][inv] for x in out)
 
 
-def mega_closest(o, d, active, group_bounds, mega_blocks, tri_starts):
-    """Closest-hit via the subtile-consensus megakernel.  Returns
-    (t, tri, u, v); tri = -1 on miss.  mega_blocks from `pack_mega`;
-    tri_starts = each group's first (contiguous) global triangle id."""
+def mega_closest(o, d, active, group_bounds, mega_blocks, oct_bounds,
+                 oct_gid, oct_start, og=None):
+    """Closest-hit via the packet megakernel.  Returns (t, tri, group);
+    tri/group = -1 on miss.  mega_blocks from `pack_mega`; oct_* from
+    `pack_octants`; og = per-ray origin group (the previous traversal's
+    winning group, None/zeros for primary rays) — a sort hint only,
+    results are exact regardless."""
     n = o.shape[0]
     if mega_blocks.shape[0] == 0:
         return (
             jnp.full(n, INF, jnp.float32),
             jnp.full(n, -1, jnp.int32),
-            jnp.zeros(n, jnp.float32),
-            jnp.zeros(n, jnp.float32),
+            jnp.full(n, -1, jnp.int32),
         )
+    if og is None:
+        og = jnp.zeros(n, jnp.int32)
     t_lim = jnp.where(active, jnp.float32(INF), jnp.float32(-INF))
-    t, tri, u, v = _query(o, d, t_lim, group_bounds, tri_starts, mega_blocks)
+    t, tri, grp = _query(
+        o, d, t_lim, og, group_bounds, oct_bounds, oct_gid, oct_start,
+        mega_blocks,
+    )
     t = jnp.where(tri >= 0, t, INF)
-    return t, tri, u, v
+    return t, tri, grp
 
 
-def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks, tri_starts):
-    """Any-hit via the megakernel, with a true consensus early exit: lanes
-    that find any hit leave the tile's bound, so the walk stops as soon as
-    every live lane is occluded."""
+def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks, oct_bounds,
+                oct_gid, oct_start, og=None):
+    """Any-hit via the packet megakernel, with per-packet early exit:
+    a lane that finds any hit leaves its packet's bound, so each packet
+    stops as soon as every live lane is occluded (the tile-consensus
+    analog of `path_trace.fs:703-708`)."""
     n = o.shape[0]
     if mega_blocks.shape[0] == 0:
         return jnp.zeros(n, bool)
+    if og is None:
+        og = jnp.zeros(n, jnp.int32)
     t_lim = jnp.where(active, t_max, -INF)
     (hit,) = _query(
-        o, d, t_lim, group_bounds, tri_starts, mega_blocks, anyhit=True
+        o, d, t_lim, og, group_bounds, oct_bounds, oct_gid, oct_start,
+        mega_blocks, anyhit=True,
     )
     return hit > 0

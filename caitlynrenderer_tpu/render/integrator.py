@@ -68,26 +68,34 @@ class Hit(NamedTuple):
     v: jax.Array
 
 
-def _closest_hit(ds: DeviceScene, o, d, active, options: RenderOptions) -> Hit:
+def _closest_hit(
+    ds: DeviceScene, o, d, active, options: RenderOptions, og=None
+):
     """Closest hit with detached traversal + differentiable refinement:
     the hit *id* comes from non-differentiable traversal, then (t, u, v)
     are recomputed with `refine_hit` so the shading path carries gradients
-    w.r.t. geometry and rays."""
+    w.r.t. geometry and rays.  Returns (Hit, group) — group is the wide-
+    BVH group of the winning triangle (the next bounce's sort hint), or
+    None for accelerators that don't track it."""
     ds_ng, o_ng, d_ng = jax.lax.stop_gradient((ds, o, d))
-    raw = _closest_hit_raw(ds_ng, o_ng, d_ng, active, options)
+    raw, grp = _closest_hit_raw(ds_ng, o_ng, d_ng, active, options, og)
     raw = jax.lax.stop_gradient(raw)
     sc = ds.scene
     t, u, v = isect.refine_hit(o, d, raw.tri, sc.vertices, sc.tri_v)
     keep = raw.tri >= 0
-    return Hit(
+    hit = Hit(
         t=jnp.where(keep, t, raw.t),
         tri=raw.tri,
         u=jnp.where(keep, u, raw.u),
         v=jnp.where(keep, v, raw.v),
     )
+    return hit, grp
 
 
-def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> Hit:
+def _closest_hit_raw(
+    ds: DeviceScene, o, d, active, options: RenderOptions, og=None
+):
+    """Detached closest-hit dispatch.  Returns (Hit, group-or-None)."""
     sc = ds.scene
     if options.accel == "brute":
         use_pallas = _pallas_flag(options)
@@ -98,51 +106,35 @@ def _closest_hit_raw(ds: DeviceScene, o, d, active, options: RenderOptions) -> H
 
             tris9 = isect.pack_tris(sc.vertices, sc.tri_v)
             t, tri, u, v = brute_closest_pallas(o, d, active, tris9)
-            return Hit(t, tri, u, v)
+            return Hit(t, tri, u, v), None
         t, tri, u, v = isect.intersect_brute(o, d, sc.vertices, sc.tri_v)
         tri = jnp.where(active, tri, -1)
-        return Hit(t, tri, u, v)
+        return Hit(t, tri, u, v), None
     if options.accel == "wide":
-        if options.wide_algo == "mega":
-            from caitlynrenderer_tpu.ops.traverse_mega import mega_closest
+        from caitlynrenderer_tpu.ops.traverse_mega import mega_closest
 
-            t, tri, u, v = mega_closest(
-                o, d, active, ds.wb_group_bounds, ds.wb_mega,
-                ds.wb_tri_index[:, 0],
-            )
-            return Hit(t, tri, u, v)
-        if options.wide_algo == "stream":
-            from caitlynrenderer_tpu.ops.traverse_stream import stream_closest
-
-            t, tri, u, v = stream_closest(
-                o, d, active,
-                ds.wb_group_bounds, ds.wb_mega, ds.wb_tri_index[:, 0],
-                k=options.stream_k,
-            )
-            return Hit(t, tri, u, v)
-        from caitlynrenderer_tpu.ops.traverse_wide import chunked_wide_closest
-
-        t, tri, u, v = chunked_wide_closest(
-            o, d, active,
-            ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
-            chunk_size=options.ray_chunk,
-            use_pallas=_pallas_flag(options),
+        t, tri, grp = mega_closest(
+            o, d, active, ds.wb_group_bounds, ds.wb_mega,
+            ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start, og=og,
         )
-        return Hit(t, tri, u, v)
+        zero = jnp.zeros_like(t)
+        return Hit(t, tri, zero, zero), grp
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_closest
 
         t, tri, u, v = cwbvh_closest(o, d, active, ds.cw_nodes, ds.cw_tris)
         tri = jnp.where(active, tri, -1)
-        return Hit(t, tri, u, v)
+        return Hit(t, tri, u, v), None
     t, tri, u, v = traverse_closest(
         o, d, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
         max_leaf=options.max_leaf,
     )
-    return Hit(t, tri, u, v)
+    return Hit(t, tri, u, v), None
 
 
-def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
+def _occluded(
+    ds: DeviceScene, o, d, t_max, active, options: RenderOptions, og=None
+):
     """Any-hit visibility — boolean, fully detached (no visibility
     gradients in v1; documented estimator limitation, SURVEY.md §7)."""
     ds, o, d, t_max = jax.lax.stop_gradient((ds, o, d, t_max))
@@ -159,28 +151,11 @@ def _occluded(ds: DeviceScene, o, d, t_max, active, options: RenderOptions):
         occ = isect.occluded_brute(o, d, jnp.where(active, t_max, 0.0), sc.vertices, sc.tri_v)
         return occ & active
     if options.accel == "wide":
-        if options.wide_algo == "mega":
-            from caitlynrenderer_tpu.ops.traverse_mega import mega_anyhit
+        from caitlynrenderer_tpu.ops.traverse_mega import mega_anyhit
 
-            return mega_anyhit(
-                o, d, t_max, active, ds.wb_group_bounds, ds.wb_mega,
-                ds.wb_tri_index[:, 0],
-            )
-        if options.wide_algo == "stream":
-            from caitlynrenderer_tpu.ops.traverse_stream import stream_anyhit
-
-            return stream_anyhit(
-                o, d, t_max, active,
-                ds.wb_group_bounds, ds.wb_mega, ds.wb_tri_index[:, 0],
-                k=options.stream_k,
-            )
-        from caitlynrenderer_tpu.ops.traverse_wide import chunked_wide_anyhit
-
-        return chunked_wide_anyhit(
-            o, d, t_max, active,
-            ds.wb_group_bounds, ds.wb_packed_tris, ds.wb_tri_index,
-            chunk_size=options.ray_chunk,
-            use_pallas=_pallas_flag(options),
+        return mega_anyhit(
+            o, d, t_max, active, ds.wb_group_bounds, ds.wb_mega,
+            ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start, og=og,
         )
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit
@@ -356,6 +331,10 @@ def trace_paths(
         shade_tab = _build_shade_table(sc)
     light_tab = _build_light_table(sc.lights) if num_lights > 0 else None
 
+    # Origin-group sort hint for the wide megakernel: the wide-BVH group
+    # that produced each ray's origin (previous bounce's winning group).
+    og = jnp.zeros(n, jnp.int32)
+
     for bounce in range(options.max_depth):
         base = 4 + 6 * bounce
         u_lp = uniforms[:, base + 0]
@@ -367,8 +346,8 @@ def trace_paths(
 
         n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
         if fused:
-            raw = _closest_hit_raw(
-                *jax.lax.stop_gradient((ds, o, d)), alive, options
+            raw, grp = _closest_hit_raw(
+                *jax.lax.stop_gradient((ds, o, d)), alive, options, og
             )
             raw = jax.lax.stop_gradient(raw)
             tri_safe = jnp.maximum(raw.tri, 0)
@@ -385,10 +364,12 @@ def trace_paths(
                 v=jnp.where(keep, v_r, raw.v),
             )
         else:
-            hit = _closest_hit(ds, o, d, alive, options)
+            hit, grp = _closest_hit(ds, o, d, alive, options, og)
             tri_safe = jnp.maximum(hit.tri, 0)
         got = alive & (hit.tri >= 0)
         alive = got
+        if grp is not None:
+            og = jnp.maximum(grp, 0)  # hit rays: their surface's group
 
         if fused:
             n_shade = _shading_normal_from_rows(
@@ -475,7 +456,8 @@ def trace_paths(
             cand = alive & ~is_spec_mat & (cos_mtl > 0) & (cos_light < 0)
             n_anyhit = n_anyhit + jnp.sum(cand.astype(jnp.int32))
             shadowed = _occluded(
-                ds, hit_point, ldir, jnp.where(cand, dist - EPS, 0.0), cand, options
+                ds, hit_point, ldir, jnp.where(cand, dist - EPS, 0.0), cand,
+                options, og,
             )
             visible = cand & ~shadowed
             area = lrows[:, 15]

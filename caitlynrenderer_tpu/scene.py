@@ -34,6 +34,9 @@ class DeviceScene(NamedTuple):
     wb_packed_tris: jax.Array  # (G, Kg, 9) f32  — packed group triangle blocks
     wb_tri_index: jax.Array  # (G, Kg) i32       — global tri ids, -1 pad
     wb_mega: jax.Array  # (G, 8, 3·Kp) f32 — Baldwin–Weber planes (traverse_mega)
+    wb_oct_bounds: jax.Array  # (8, 8, gpad) f32 — per-octant worklist bounds
+    wb_oct_gid: jax.Array  # (8, gpad) i32 — per-octant group order
+    wb_oct_start: jax.Array  # (8, gpad) i32 — per-octant first tri id
     # NOTE: the leaf width used at build time is a *static* render option
     # (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
     # static; it is not stored here because NamedTuple fields are pytree
@@ -78,7 +81,7 @@ def upload_scene(
     max_leaf: int = 4,
     bvh: Optional[FlatBVH] = None,
     device=None,
-    wide_group_tris: int = 256,
+    wide_group_tris: int = 128,
 ) -> DeviceScene:
     """Build the acceleration structure (host pass) and move everything to
     device HBM.  `accel`: "brute" (no BVH), "bvh2"/"sbvh" (binary flat
@@ -149,13 +152,20 @@ def upload_scene(
         )
 
     if wb.packed_tris.shape[0] > 0:
-        # Host-side build of the Baldwin–Weber plane blocks consumed by
-        # the megakernel (ops/traverse_mega.pack_mega documents the layout).
-        from caitlynrenderer_tpu.ops.traverse_mega import pack_mega
+        # Host-side build of the Baldwin–Weber plane blocks and the static
+        # per-octant front-to-back worklists consumed by the megakernel
+        # (ops/traverse_mega documents both layouts).
+        from caitlynrenderer_tpu.ops.traverse_mega import pack_mega, pack_octants
 
         wb_mega = pack_mega(wb.packed_tris, wb.tri_index)
+        oct_bounds, oct_gid, oct_start = pack_octants(
+            wb.group_bounds, wb.tri_index[:, 0]
+        )
     else:
         wb_mega = np.zeros((0, 8, 384), np.float32)
+        oct_bounds = np.zeros((8, 8, 128), np.float32)
+        oct_gid = np.zeros((8, 128), np.int32)
+        oct_start = np.zeros((8, 128), np.int32)
 
     dev_scene = jax.tree_util.tree_map(to_dev, ordered)
     return DeviceScene(
@@ -168,4 +178,7 @@ def upload_scene(
         wb_packed_tris=to_dev(wb.packed_tris),
         wb_tri_index=to_dev(wb.tri_index),
         wb_mega=to_dev(wb_mega),
+        wb_oct_bounds=to_dev(oct_bounds),
+        wb_oct_gid=to_dev(oct_gid),
+        wb_oct_start=to_dev(oct_start),
     )
