@@ -238,6 +238,28 @@ def reorder_scene(scene, bvh: FlatBVH):
     )
 
 
+def tree_depth(node_meta: np.ndarray) -> int:
+    """Depth of the flat tree (nodes on the longest root→leaf path).
+
+    The vectorized traversal's per-ray stack holds at most one entry per
+    inner level, so `max_stack = tree_depth(meta)` can never overflow —
+    callers size the (static) stack from the actual build instead of the
+    reference's fixed 12/16-deep arrays (`path_trace.fs:513,674`), which
+    silently corrupt on deeper trees.  Level-order frontier sweep: O(depth)
+    vectorized iterations, no per-node Python loop."""
+    meta = np.asarray(node_meta)
+    if meta.shape[0] == 0:
+        return 0
+    frontier = np.array([0], np.int64)
+    depth = 0
+    while frontier.size:
+        depth += 1
+        inner = frontier[meta[frontier, 1] == 0]
+        left = meta[inner, 0].astype(np.int64)
+        frontier = np.concatenate([left, left + 1])
+    return depth
+
+
 def sah_cost(bvh: FlatBVH) -> float:
     """Total SAH cost of the tree (for build-quality logging/metrics)."""
     d = np.maximum(bvh.node_bounds[:, 3:] - bvh.node_bounds[:, :3], 0.0)

@@ -24,7 +24,7 @@ def cmd_render(args) -> int:
 
     from caitlynrenderer_tpu.render import progressive
     from caitlynrenderer_tpu.render.tiled import render_image_tiled
-    from caitlynrenderer_tpu.scene import upload_scene
+    from caitlynrenderer_tpu.scene import required_stack, upload_scene
     from caitlynrenderer_tpu.io.image import save_png
     from caitlynrenderer_tpu.utils import checkpoint, config, metrics
 
@@ -37,10 +37,14 @@ def cmd_render(args) -> int:
         height=args.height,
         max_depth=args.depth,
         accel=args.accel,
+        aov=args.aov,
     )
 
     t0 = time.perf_counter()
     ds = upload_scene(scene, accel=options.accel, max_leaf=options.max_leaf)
+    # Size the traversal stack from the actual build — deep trees would
+    # silently overflow a fixed stack (see scene.required_stack).
+    options = options._replace(max_stack=required_stack(ds))
     metrics.log_record(
         "scene",
         {
@@ -53,6 +57,43 @@ def cmd_render(args) -> int:
     )
 
     spp = args.spp or options.max_samples
+
+    if args.turntable > 1:
+        # Camera-path mode: the offline analog of the reference's
+        # interactive loop (`main.cpp:97-153` — camera motion sets
+        # isMoving, `Scene.h:1160-1177` clears the accumulation).  The
+        # camera orbits the look-at point; every move RESETS the shared
+        # progressive state and re-accumulates spp samples.
+        from caitlynrenderer_tpu.core.types import make_camera
+
+        c = cfg.get("camera", {})
+        pos0 = np.asarray(c.get("position", [0.0, 1.0, 4.0]), np.float32)
+        look = np.asarray(c.get("look_at", [0.0, 1.0, 0.0]), np.float32)
+        if translation is not None:
+            pos0 = pos0 + translation
+            look = look + translation
+        fov = float(c.get("fov", 40.0))
+        w, h = options.width, options.height
+        state = progressive.init_state(w, h, seed=args.seed)
+        base, ext = os.path.splitext(args.output)
+        rel = pos0 - look
+        for k in range(args.turntable):
+            ang = 2.0 * np.pi * k / args.turntable
+            ca, sa = np.cos(ang), np.sin(ang)
+            rot = np.array(
+                [rel[0] * ca + rel[2] * sa, rel[1], -rel[0] * sa + rel[2] * ca],
+                np.float32,
+            )
+            cam_k = make_camera(look + rot, look, fov_degrees=fov)
+            state = progressive.reset(state)  # camera moved → restart
+            for _ in range(spp):
+                state = progressive.render_step(ds, cam_k, state, w, h, options)
+            img = progressive.resolve(state, w, h, options)
+            frame_path = f"{base}_{k:03d}{ext}"
+            save_png(frame_path, np.asarray(img))
+            print(f"wrote {frame_path} ({spp} spp, frame {k + 1}/{args.turntable})")
+        return 0
+
     if options.num_tiles_x * options.num_tiles_y > 1:
         img = render_image_tiled(ds, camera, options, spp=spp, seed=args.seed)
         save_png(args.output, img)
@@ -185,6 +226,19 @@ def main(argv=None) -> int:
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--resume", default=None, help="checkpoint path (save/load)")
     r.add_argument("--checkpoint-every", type=float, default=60.0)
+    r.add_argument(
+        "--aov",
+        default=None,
+        choices=["beauty", "albedo", "normal", "depth"],
+        help="debug render mode (first-hit AOV instead of the beauty pass)",
+    )
+    r.add_argument(
+        "--turntable",
+        type=int,
+        default=1,
+        help="render N frames orbiting the look-at point (exercises the "
+        "camera-move accumulation restart); writes OUTPUT_000.png ...",
+    )
     r.set_defaults(fn=cmd_render)
 
     b = sub.add_parser("benchmark", help="run the benchmark harness")

@@ -115,6 +115,9 @@ class SceneArrays(NamedTuple):
     textures:  optional (K, H, W, 3) f32 albedo atlas, all resized to one
                size like the reference's 256² GL_TEXTURE_2D_ARRAY
                (`Scene.h:1063-1078`)
+    env_map:   optional (He, We, 3) f32 equirect environment map, sampled
+               on ray miss when RenderOptions.use_env_map (the reference's
+               `useEnvMap`/`hdrMultiplier` options, `Scene.h:57-58`)
     """
 
     vertices: Array
@@ -126,6 +129,7 @@ class SceneArrays(NamedTuple):
     materials: Materials
     lights: Lights
     textures: Optional[Array] = None
+    env_map: Optional[Array] = None
 
     @property
     def num_triangles(self) -> int:
@@ -170,6 +174,12 @@ class RenderOptions(NamedTuple):
     accel: str = "bvh2"  # {"brute", "bvh2", "sbvh", "wide", "cwbvh"}
     traversal: str = "auto"  # {"auto", "xla", "pallas"} — Pallas MT kernel on TPU
     max_leaf: int = 4  # BVH leaf width (must match the uploaded build)
+    # Traversal stack capacity for the binary-BVH paths.  Size it from the
+    # actual build with `accel.bvh.tree_depth` (the CLI/bench do this via
+    # `scene.required_stack`) — a tree deeper than the stack would corrupt
+    # results; `traverse_xla` raises at trace time if the build reports a
+    # deeper tree than this allows.
+    max_stack: int = 32
     ray_chunk: int = 8192  # traversal chunk size (coherence-sorted lax.map)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)
     exact_reference_nee: bool = False  # reproduce reference NEE estimator
@@ -180,6 +190,13 @@ class RenderOptions(NamedTuple):
     families: tuple = ("lambert", "disney", "mirror", "glass")
     # (the reference omits the cos/pi factor in its NEE term,
     #  `path_trace.fs:988-998`; default is the physically correct estimator)
+    # Debug render mode (AOV): "beauty" = full path trace; "albedo" =
+    # first-hit surface albedo (the reference's debug integrator,
+    # `path_trace.fs:822-840`); "normal" = first-hit shading normal
+    # mapped to [0,1]; "depth" = first-hit t (normalized by the 99th
+    # percentile at resolve).  AOVs bypass accumulation noise — one
+    # sample is exact — and make traversal/shading bugs visible per-pass.
+    aov: str = "beauty"
 
 
 def make_camera(

@@ -275,3 +275,36 @@ def displaced_grid(resolution: int = 224, seed: int = 0, extent: float = 10.0):
         tri_vt=np.concatenate([base.tri_vt, np.full((t, 4), -1, np.int32)], axis=0),
     )
     return scene, np.zeros(3, np.float32)
+
+
+def procedural_sky(height: int = 64, width: int = 128, sun_dir=(0.35, 0.8, 0.2),
+                   sun_intensity: float = 20.0) -> np.ndarray:
+    """Procedural equirect sky env map: zenith-to-horizon gradient, dark
+    ground, and a smooth sun disk.  A dependency-free HDR stand-in for
+    the reference's `useEnvMap` assets (`Scene.h:57-58`); real HDR files
+    can be loaded with io.image and passed as SceneArrays.env_map."""
+    v = (np.arange(height, dtype=np.float32) + 0.5) / height  # 0=zenith
+    u = (np.arange(width, dtype=np.float32) + 0.5) / width
+    theta = v * np.pi  # polar angle from +y
+    phi = (u - 0.5) * 2.0 * np.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack(
+        [
+            st * np.cos(phi)[None, :],
+            np.cos(theta)[:, None] * np.ones_like(phi)[None, :],
+            st * np.sin(phi)[None, :],
+        ],
+        axis=-1,
+    )  # (H, W, 3) unit directions
+    y = d[..., 1]
+    zenith = np.array([0.25, 0.45, 0.95], np.float32)
+    horizon = np.array([0.85, 0.85, 0.95], np.float32)
+    ground = np.array([0.25, 0.22, 0.20], np.float32)
+    tsky = np.clip(y, 0.0, 1.0)[..., None] ** 0.6
+    sky = horizon * (1.0 - tsky) + zenith * tsky
+    img = np.where((y >= 0.0)[..., None], sky, ground)
+    sd = np.asarray(sun_dir, np.float32)
+    sd = sd / np.linalg.norm(sd)
+    cos = np.clip((d * sd).sum(-1), 0.0, 1.0)
+    img = img + sun_intensity * (cos[..., None] ** 400.0)
+    return img.astype(np.float32)

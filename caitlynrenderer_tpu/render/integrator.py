@@ -127,7 +127,7 @@ def _closest_hit_raw(
         return Hit(t, tri, u, v), None
     t, tri, u, v = traverse_closest(
         o, d, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
-        max_leaf=options.max_leaf,
+        max_leaf=options.max_leaf, max_stack=options.max_stack,
     )
     return Hit(t, tri, u, v), None
 
@@ -163,7 +163,7 @@ def _occluded(
         return cwbvh_anyhit(o, d, t_max, active, ds.cw_nodes, ds.cw_tris)
     return traverse_anyhit(
         o, d, t_max, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
-        max_leaf=options.max_leaf,
+        max_leaf=options.max_leaf, max_stack=options.max_stack,
     )
 
 
@@ -288,6 +288,34 @@ def _albedo_from_rows(sc, rows, u, v):
     return jnp.where((layer_f >= 0)[:, None], sampled, base)
 
 
+def trace_aov(ds: DeviceScene, o, d, options: RenderOptions):
+    """First-hit AOV pass — the debug integrator family
+    (`/root/reference/Shader/path_trace.fs:822-840` renders first-hit
+    albedo; "normal" and "depth" are the natural companions).  One
+    closest-hit query, no sampling: a single-sample AOV frame is exact."""
+    n = o.shape[0]
+    active = jnp.ones(n, bool)
+    hit, _ = _closest_hit(ds, o, d, active, options)
+    got = hit.tri >= 0
+    tri_safe = jnp.maximum(hit.tri, 0)
+    if options.aov == "depth":
+        t = jnp.where(got, hit.t, 0.0)
+        return jnp.broadcast_to(t[:, None], (n, 3))
+    n_shade = _shading_normal(ds, tri_safe, hit.u, hit.v)
+    if options.aov == "normal":
+        img = 0.5 * (n_shade + 1.0)
+        return jnp.where(got[:, None], img, 0.0)
+    sc = ds.scene
+    mtl = sc.tri_v[tri_safe, 3]
+    albedo = _albedo(ds, mtl, tri_safe, hit.u, hit.v)
+    # Emissive surfaces show their emission, like the reference's debug
+    # view showing lights as-is.
+    emission = sc.materials.emission[mtl, :3]
+    emissive = sc.materials.emission[mtl, 3] != -1
+    img = jnp.where(emissive[:, None], emission, albedo)
+    return jnp.where(got[:, None], img, 0.0)
+
+
 def trace_paths(
     ds: DeviceScene,
     o,
@@ -367,6 +395,13 @@ def trace_paths(
             hit, grp = _closest_hit(ds, o, d, alive, options, og)
             tri_safe = jnp.maximum(hit.tri, 0)
         got = alive & (hit.tri >= 0)
+        if options.use_env_map and sc.env_map is not None:
+            # Miss → environment radiance (the wiring behind the
+            # reference's dead `useEnvMap` option, `Scene.h:57-58`).
+            # The env is a BSDF-sampled-only light: no NEE toward it, so
+            # its MIS weight is 1 (documented estimator choice).
+            env = tex.sample_env(sc.env_map, d)
+            L = L + jnp.where((alive & ~got)[:, None], T * env, 0.0)
         alive = got
         if grp is not None:
             og = jnp.maximum(grp, 0)  # hit rays: their surface's group
@@ -564,4 +599,6 @@ def render_sample(
     """One full sample of every pixel: raygen + path trace.  Returns
     (H*W, 3) radiance — the jitted hot path of the progressive loop."""
     o, d = generate_rays(camera, width, height, uniforms)
+    if options.aov != "beauty":
+        return trace_aov(ds, o, d, options)
     return trace_paths(ds, o, d, uniforms, options)

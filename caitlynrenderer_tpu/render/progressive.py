@@ -95,10 +95,18 @@ def resolve(
 ):
     """Resolve accumulation → display image (H, W, 3) in [0,1].
 
-    Row 0 = top of image (the GL-convention bottom-up buffer is flipped)."""
+    Row 0 = top of image (the GL-convention bottom-up buffer is flipped).
+    AOV modes resolve linearly (no tonemap/gamma — they are data views,
+    like the reference's debug integrator, `path_trace.fs:822-840`);
+    "depth" is normalized by the maximum finite depth in frame."""
     inv = 1.0 / jnp.maximum(state.frame_count.astype(jnp.float32), 1.0)
     hdr = state.accum * inv * options.hdr_multiplier
-    img = tonemap(hdr, options.tonemap_limit)
+    if options.aov == "depth":
+        img = jnp.clip(hdr / jnp.maximum(hdr.max(), 1e-8), 0.0, 1.0)
+    elif options.aov != "beauty":
+        img = jnp.clip(hdr, 0.0, 1.0)
+    else:
+        img = tonemap(hdr, options.tonemap_limit)
     return img.reshape(height, width, 3)[::-1]
 
 

@@ -75,6 +75,21 @@ def scene_families(scene_np: SceneArrays) -> tuple:
     return tuple(fams) if fams else ("lambert",)
 
 
+def required_stack(ds_or_meta) -> int:
+    """Traversal stack size that provably cannot overflow for this build:
+    the actual tree depth + 1 (floored at the historical default 32).
+
+    The reference uses fixed 12/16-deep stacks and silently clamps on
+    deeper trees (`path_trace.fs:513,674`) — wrong hits with no signal.
+    Here the stack is a static jit parameter, so the CLI/bench size it
+    from the build: ``options._replace(max_stack=required_stack(ds))``.
+    Accepts a DeviceScene or a raw (Nn, 2) node_meta array."""
+    from caitlynrenderer_tpu.accel.bvh import tree_depth
+
+    meta = getattr(ds_or_meta, "node_meta", ds_or_meta)
+    return max(32, tree_depth(np.asarray(meta)) + 1)
+
+
 def upload_scene(
     scene_np: SceneArrays,
     accel: str = "bvh2",

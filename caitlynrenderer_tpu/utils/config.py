@@ -38,6 +38,8 @@ def load_config(path: str) -> Dict[str, Any]:
 def options_from_config(cfg: Dict[str, Any], **overrides) -> RenderOptions:
     r = dict(cfg.get("render", {}))
     r.update({k: v for k, v in overrides.items() if v is not None})
+    if isinstance(r.get("families"), list):
+        r["families"] = tuple(r["families"])  # TOML lists are unhashable
     allowed = RenderOptions._fields
     return RenderOptions(**{k: v for k, v in r.items() if k in allowed})
 
@@ -59,7 +61,11 @@ def camera_from_config(cfg: Dict[str, Any], translation=None) -> Camera:
 
 
 def scene_from_config(cfg: Dict[str, Any], base_dir: str = "."):
-    """Load the scene named by the config: OBJ file or a builtin."""
+    """Load the scene named by the config: OBJ file or a builtin.
+
+    `[scene] env = "sky"` attaches the procedural sky env map;
+    `env_png = "path.png"` loads an equirect map from a PNG (decoded as
+    linear via gamma 2.2).  Enable sampling with `[render] use_env_map`."""
     s = cfg.get("scene", {})
     if "obj" in s:
         from caitlynrenderer_tpu.io.obj import load_obj
@@ -67,15 +73,31 @@ def scene_from_config(cfg: Dict[str, Any], base_dir: str = "."):
         path = s["obj"]
         if not os.path.isabs(path):
             path = os.path.join(base_dir, path)
-        return load_obj(path)
-    builtin = s.get("builtin", "cornell")
-    from caitlynrenderer_tpu.io import builtin_scenes
+        scene, translation = load_obj(path)
+    else:
+        from caitlynrenderer_tpu.io import builtin_scenes
 
-    if builtin == "cornell":
-        return builtin_scenes.cornell_box()
-    if builtin.startswith("grid"):
-        res = int(s.get("resolution", 224))
-        return builtin_scenes.displaced_grid(resolution=res)
-    if builtin == "soup":
-        return builtin_scenes.random_triangle_soup(int(s.get("triangles", 20000)))
-    raise ValueError(f"unknown builtin scene {builtin!r}")
+        builtin = s.get("builtin", "cornell")
+        if builtin == "cornell":
+            scene, translation = builtin_scenes.cornell_box()
+        elif builtin.startswith("grid"):
+            res = int(s.get("resolution", 224))
+            scene, translation = builtin_scenes.displaced_grid(resolution=res)
+        elif builtin == "soup":
+            scene, translation = builtin_scenes.random_triangle_soup(
+                int(s.get("triangles", 20000))
+            )
+        else:
+            raise ValueError(f"unknown builtin scene {builtin!r}")
+    if s.get("env") == "sky":
+        from caitlynrenderer_tpu.io.builtin_scenes import procedural_sky
+
+        scene = scene._replace(env_map=procedural_sky())
+    elif "env_png" in s:
+        from caitlynrenderer_tpu.io.image import load_png
+
+        path = s["env_png"]
+        if not os.path.isabs(path):
+            path = os.path.join(base_dir, path)
+        scene = scene._replace(env_map=(load_png(path) ** 2.2).astype(np.float32))
+    return scene, translation

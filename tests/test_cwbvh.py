@@ -1,6 +1,7 @@
 """CWBVH: format invariants, quantization conservativeness, traversal
 equivalence vs brute force, end-to-end parity."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -131,6 +132,7 @@ def test_cwbvh_anyhit_matches_brute():
         np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_c), err_msg=name)
 
 
+@pytest.mark.slow
 def test_cwbvh_end_to_end_parity(cornell):
     import jax
     from caitlynrenderer_tpu.core.types import RenderOptions

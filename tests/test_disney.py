@@ -111,6 +111,7 @@ def test_energy_conservation():
     assert (integral > 0.5).all(), integral
 
 
+@pytest.mark.slow
 def test_integrator_parity_disney(cornell):
     """Config #2 material path: Disney floor, device == oracle."""
     from caitlynrenderer_tpu.cpu_reference import integrator as oracle

@@ -1,5 +1,6 @@
 """Framework surface: tiled == untiled, checkpoint/resume, config, CLI."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -25,6 +26,7 @@ def test_tile_grid_covers():
     assert (cover == 1).all()
 
 
+@pytest.mark.slow
 def test_tiled_equals_untiled(cornell):
     scene, camera = cornell
     ds = upload_scene(scene, accel="bvh2")
@@ -99,6 +101,7 @@ def test_metrics_records():
     assert "x" in s and s["rays"] == 10
 
 
+@pytest.mark.slow
 def test_cli_render_smoke(tmp_path):
     out = str(tmp_path / "out.png")
     r = subprocess.run(

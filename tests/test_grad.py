@@ -1,6 +1,7 @@
 """Gradient correctness: finite-difference checks of the differentiable
 renderer (SURVEY.md §4.4) + inverse-rendering convergence."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,7 @@ def test_albedo_gradient_finite_difference():
         assert np.isclose(fd, ga[mi, ci], rtol=2e-2, atol=1e-6), (mi, ci, fd, ga[mi, ci])
 
 
+@pytest.mark.slow
 def test_camera_gradient_finite_difference():
     """Camera translation gradient vs FD.  Camera motion shifts which
     triangle each ray hits at pixel boundaries (a detached, discontinuous
@@ -95,6 +97,7 @@ def test_vertex_gradient_exists():
     assert np.abs(g).sum() > 0
 
 
+@pytest.mark.slow
 def test_inverse_rendering_recovers_albedo():
     """Optimize a perturbed wall albedo back toward the target render."""
     ds, camera, options, _, w, h = _setup(w=16, h=16, depth=2)

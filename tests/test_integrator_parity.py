@@ -8,6 +8,9 @@ deterministic — no statistical tolerance needed beyond float reassociation.
 
 import numpy as np
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle renders: the heavy parity tier
 import jax.numpy as jnp
 
 from caitlynrenderer_tpu.core.types import MaterialType, RenderOptions

@@ -180,6 +180,7 @@ def test_mega_ray_count_not_multiple_of_tile():
     _assert_closest_matches_brute(sr, args, o, d, "pad200")
 
 
+@pytest.mark.slow
 def test_mega_kernel_interpret_smoke():
     """The actual Pallas kernel (forced via MEGA_FORCE_KERNEL=1, running
     interpreted on CPU) agrees with the dense XLA reference path on a

@@ -63,6 +63,7 @@ def test_native_invariants_and_equivalence():
     np.testing.assert_allclose(results[0][0][hit], results[1][0][hit], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_native_speed():
     scene, _ = displaced_grid(resolution=160)  # ~50k tris
     t0 = time.perf_counter()

@@ -1,5 +1,6 @@
 """Sanity tests for the CPU reference integrator and scene loader."""
 
+import pytest
 import numpy as np
 
 from caitlynrenderer_tpu.cpu_reference import integrator as oracle
@@ -37,6 +38,7 @@ def test_brute_force_hits_walls(cornell):
     assert (u >= -1e-5).all() and (v >= -1e-5).all() and (u + v <= 1 + 1e-4).all()
 
 
+@pytest.mark.slow
 def test_render_direct_light(cornell):
     scene, camera = cornell
     w = h = 32
@@ -56,6 +58,7 @@ def test_render_direct_light(cornell):
     assert (img.sum(axis=-1) > 0).mean() > 0.5
 
 
+@pytest.mark.slow
 def test_white_furnace_energy():
     """A closed white (albedo 1) sphere-ish box with a light: radiance must
     stay finite and the physically-correct NEE must not gain energy
@@ -82,6 +85,7 @@ def test_white_furnace_energy():
     assert vals[1] < vals[0] * 3.0
 
 
+@pytest.mark.slow
 def test_mirror_material():
     """A mirror floor must reflect the light (specular path carries Le)."""
     from caitlynrenderer_tpu.io.builtin_scenes import cornell_box

@@ -27,6 +27,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(cornell):
     scene, camera = cornell
     ds = upload_scene(scene, accel="bvh2")
@@ -61,6 +62,7 @@ def test_padding():
     assert st.accum.shape == (104, 3)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_reduces_loss(cornell):
     scene, camera = cornell
     ds = upload_scene(scene, accel="bvh2")

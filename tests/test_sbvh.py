@@ -1,6 +1,7 @@
 """SBVH builder: invariants (with duplication), traversal equivalence,
 and SAH-quality comparison vs the object-split-only builder."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_sbvh_beats_sah_on_overlap_heavy_scene():
     assert c_sbvh < c_sah * 1.001, (c_sah, c_sbvh)
 
 
+@pytest.mark.slow
 def test_upload_scene_sbvh_end_to_end(cornell):
     import jax
     from caitlynrenderer_tpu.core.types import RenderOptions

@@ -1,5 +1,6 @@
 """Streaming wide-BVH structural invariants + traversal ≡ brute-force."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -140,6 +141,7 @@ def test_wide_inactive_lanes():
     assert (np.asarray(tri) == -1).all()
 
 
+@pytest.mark.slow
 def test_wide_end_to_end_parity(cornell):
     """Full integrator with accel="wide" matches the oracle."""
     import jax
