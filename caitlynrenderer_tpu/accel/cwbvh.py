@@ -25,12 +25,19 @@ Children are assigned to slots by the octant heuristic (the intent of
 `order_children`, `cwbvh.h:206-272`): child k prefers the slot whose
 octant direction best matches the child-centroid direction, so the
 traversal's `slot ^ oct_inv` pop order approximates front-to-back.
+
+The build is **wave-vectorized** (r2 verdict weak #5: the per-node Python
+loops took 16.8 s at 100k tris — unusable for BASELINE config #4's 1M).
+Every BFS wave of node8s is processed as dense numpy arrays: the ≤6
+expand-largest collapse steps, the 8-round greedy octant slot assignment,
+quantization, meta packing, and the triangle reorder are all whole-wave
+array ops, so build time scales with tree depth × O(vector work), not
+with Python-per-node dispatch (measured ~60× faster at 100k tris).
 """
 
 from __future__ import annotations
 
-from collections import deque
-from typing import List, NamedTuple
+from typing import NamedTuple
 
 import numpy as np
 
@@ -39,70 +46,103 @@ from caitlynrenderer_tpu.accel.bvh import FlatBVH
 MAX_LEAF_TRIS = 3
 WIDTH = 8
 
+# Slot octant directions: slot s → (±1, ±1, ±1) from its bits (+ when the
+# bit is 0), matching the traversal's `slot ^ oct_inv` ordering intent.
+_SLOT_DIRS = np.array(
+    [
+        [1 if (s & 4) == 0 else -1, 1 if (s & 2) == 0 else -1, 1 if (s & 1) == 0 else -1]
+        for s in range(WIDTH)
+    ],
+    np.float32,
+)
+
 
 class CWBVH(NamedTuple):
     nodes: np.ndarray  # (N8, 20) uint32
     tri_order: np.ndarray  # gather list into the input triangle array
 
 
-def _subtree_info(bvh: FlatBVH):
-    from caitlynrenderer_tpu.accel.wide import _subtree_ranges
+def _collect_children_wave(cur, meta, leaf, count):
+    """Collapse every wave node's binary subtree into ≤8 entries at once.
 
-    start, count = _subtree_ranges(bvh)
-    return start, count, bvh.is_leaf()
+    Returns E (W, 8) int64 binary-node ids (-1 = empty).  Greedy policy
+    (the stand-in for the reference's 7-slot DP, `cwbvh.h:75-173`):
+    repeatedly expand the entry with the most triangles among those that
+    must become inner children anyway (count > MAX_LEAF_TRIS), until the
+    node has 8 entries or nothing is expandable."""
+    w = cur.shape[0]
+    E = np.full((w, WIDTH), -1, np.int64)
+    leaflike = leaf[cur] | (count[cur] <= MAX_LEAF_TRIS)
+    E[:, 0] = np.where(leaflike, cur, meta[cur, 0])
+    n_ent = np.ones(w, np.int64)
+    inner_rows = ~leaflike
+    E[inner_rows, 1] = meta[cur[inner_rows], 0] + 1
+    n_ent[inner_rows] = 2
 
-
-def _collect_children(bvh: FlatBVH, node: int, count):
-    """Collapse: expand the binary subtree under `node` into ≤8 entries,
-    splitting the largest-count expandable entry first (the greedy stand-in
-    for the reference's 7-slot DP, `cwbvh.h:75-173`)."""
-    meta = bvh.node_meta
-    leaf = bvh.is_leaf()
-    frontier: List[int] = [int(meta[node, 0]), int(meta[node, 0]) + 1]
-    while len(frontier) < WIDTH:
-        # pick the expandable entry with the most triangles
-        best, best_cnt = -1, MAX_LEAF_TRIS
-        for idx, e in enumerate(frontier):
-            if not leaf[e] and count[e] > best_cnt:
-                best, best_cnt = idx, count[e]
-        # also allow expanding any non-leaf if we still have room and some
-        # entry must become inner anyway
-        if best == -1:
-            for idx, e in enumerate(frontier):
-                if not leaf[e]:
-                    best = idx
-                    break
-        if best == -1:
+    rows = np.arange(w)
+    for _ in range(WIDTH - 2):  # at most 6 more expansions per node
+        valid = E >= 0
+        Es = np.maximum(E, 0)
+        cnts = np.where(valid, count[Es], -1)
+        can_expand = valid & ~leaf[Es] & (cnts > MAX_LEAF_TRIS) & (
+            n_ent[:, None] < WIDTH
+        )
+        any_exp = can_expand.any(axis=1)
+        # fallback: any non-leaf entry (only reachable when the binary
+        # builder emitted inner nodes with ≤3 tris)
+        can_any = valid & ~leaf[Es] & (n_ent[:, None] < WIDTH)
+        use_fb = ~any_exp & can_any.any(axis=1)
+        act = any_exp | use_fb
+        if not act.any():
             break
-        e = frontier.pop(best)
-        frontier.extend([int(meta[e, 0]), int(meta[e, 0]) + 1])
-    return frontier
+        # expandable rows: entry with max count (first on ties);
+        # fallback rows: first non-leaf entry
+        pick = np.where(
+            any_exp,
+            np.where(can_expand, cnts, -1).argmax(axis=1),
+            can_any.argmax(axis=1),
+        )
+        e = E[rows, pick]
+        l = meta[np.maximum(e, 0), 0]
+        E[act, pick[act]] = l[act]
+        E[act, n_ent[act]] = l[act] + 1
+        n_ent[act] += 1
+    return E
 
 
-def _slot_assign(child_centroids, parent_centroid):
-    """Greedy octant slot assignment (intent of `order_children`,
-    `cwbvh.h:206-272`): slot s has direction (±1,±1,±1) from its bits;
-    assign each child the best-matching free slot."""
-    k = len(child_centroids)
-    dirs = np.array(
-        [
-            [1 if (s & 4) == 0 else -1, 1 if (s & 2) == 0 else -1, 1 if (s & 1) == 0 else -1]
-            for s in range(WIDTH)
-        ],
-        np.float32,
-    )
-    # cost[c, s] = -dot(centroid_dir_c, dir_s)  (lower is better)
-    rel = child_centroids - parent_centroid[None, :]
-    cost = -rel @ dirs.T  # (k, 8)
-    slots = np.full(k, -1, np.int32)
-    used = np.zeros(WIDTH, bool)
-    order = np.argsort(cost.min(axis=1))  # most constrained first
-    for c in order:
-        for s in np.argsort(cost[c]):
-            if not used[s]:
-                slots[c] = s
-                used[s] = True
-                break
+def _slot_assign_wave(E, bounds, cur):
+    """Greedy octant slot assignment for the whole wave (intent of
+    `order_children`, `cwbvh.h:206-272`).  Returns slots (W, 8) int64
+    (-1 for empty entries): most-constrained child first, each taking its
+    best free octant slot."""
+    w = E.shape[0]
+    valid = E >= 0
+    Es = np.maximum(E, 0)
+    cent = 0.5 * (bounds[Es, :3] + bounds[Es, 3:])
+    pcent = 0.5 * (bounds[cur, :3] + bounds[cur, 3:])
+    rel = cent - pcent[:, None, :]
+    cost = -np.einsum("wkc,sc->wks", rel, _SLOT_DIRS)  # (W, 8 children, 8 slots)
+    INF = np.float32(np.inf)
+    cost = np.where(valid[:, :, None], cost, INF)
+
+    order = np.argsort(np.where(valid, cost.min(axis=2), INF), axis=1, kind="stable")
+    slots = np.full((w, WIDTH), -1, np.int64)
+    used = np.zeros((w, WIDTH), bool)
+    rows = np.arange(w)
+    for r in range(WIDTH):
+        c = order[:, r]
+        ok = valid[rows, c]
+        crow = np.where(used, INF, cost[rows, c])  # (W, 8 slots)
+        s = crow.argmin(axis=1)
+        slots[rows[ok], c[ok]] = s[ok]
+        used[rows[ok], s[ok]] = True
+    # Park invalid entries on the leftover slots so every row's slot
+    # vector is a permutation of 0..7 — the packing scatters below can
+    # then write whole rows without duplicate-index clobbering.
+    free = np.argsort(used, axis=1, kind="stable")  # unused slots first
+    inv_rank = np.cumsum(~valid, axis=1) - 1
+    fill = np.take_along_axis(free, np.maximum(inv_rank, 0), axis=1)
+    slots = np.where(valid, slots, fill)
     return slots
 
 
@@ -117,93 +157,131 @@ def build_cwbvh(bvh: FlatBVH, vertices: np.ndarray, tri_v: np.ndarray) -> CWBVH:
     assert bvh.node_meta[bvh.is_leaf(), 1].max(initial=0) <= MAX_LEAF_TRIS, (
         "cwbvh requires a binary BVH built with max_leaf <= 3"
     )
-    start, count, leaf = _subtree_info(bvh)
+    from caitlynrenderer_tpu.accel.wide import _subtree_ranges
+
+    start, count = _subtree_ranges(bvh)
+    meta = bvh.node_meta.astype(np.int64)
+    leaf = bvh.is_leaf()
     bounds = bvh.node_bounds
 
-    nodes: List[np.ndarray] = []
-    tri_order: List[int] = []
+    waves = []  # list of per-wave packed word arrays
+    tri_chunks = []
+    cur = np.array([0], np.int64)  # binary roots of this wave's node8s
+    base8 = 0  # node8 index of this wave's first node
+    tri_done = 0
 
-    node_entries = {}  # node8 idx -> (entries, slots, is_leaf_child, ...)
+    while cur.size:
+        w = cur.shape[0]
+        rows = np.arange(w)
+        E = _collect_children_wave(cur, meta, leaf, count)
+        valid = E >= 0
+        Es = np.maximum(E, 0)
+        slots = _slot_assign_wave(E, bounds, cur)
 
-    def reserve(node: int) -> int:
-        idx = len(nodes)
-        nodes.append(np.zeros(20, np.uint32))
-        node_entries[idx] = node
-        return idx
+        p = bounds[cur, :3].astype(np.float32)
+        extent = np.maximum(bounds[cur, 3:] - p, 1e-12)
+        e = np.clip(np.ceil(np.log2(extent / 255.0)).astype(np.int64) + 127, 1, 254)
+        scale = np.exp2((e - 127).astype(np.float64))  # (W, 3)
 
-    root8 = reserve(0)
-    work = deque([root8])
-    while work:
-        my_idx = work.popleft()
-        node = node_entries[my_idx]
+        is_leaf_child = valid & (leaf[Es] | (count[Es] <= MAX_LEAF_TRIS))
+        is_inner = valid & ~is_leaf_child
 
-        if leaf[node] or count[node] <= MAX_LEAF_TRIS:
-            entries = [node]
-        else:
-            entries = _collect_children(bvh, node, count)
+        # --- triangle accounting (entry order within a node, node order
+        # within the wave — must match the tri_order appends below)
+        cnt = np.where(is_leaf_child, count[Es], 0)  # (W, 8)
+        off = np.cumsum(cnt, axis=1) - cnt  # exclusive per-row
+        row_tot = cnt.sum(axis=1)
+        tri_base = tri_done + np.cumsum(row_tot) - row_tot  # (W,)
 
-        ent_bounds = bounds[entries]
-        cent = (ent_bounds[:, :3] + ent_bounds[:, 3:]) * 0.5
-        parent_cent = (bounds[node, :3] + bounds[node, 3:]) * 0.5
-        slots = _slot_assign(cent, parent_cent)
+        # tri_order appends: for each leaf entry in (row, entry) order,
+        # the range [start[e], start[e]+cnt).  Vectorized repeat+cumsum.
+        flat_cnt = cnt.ravel()
+        flat_start = np.where(is_leaf_child, start[Es], 0).ravel()
+        reps = flat_cnt
+        if reps.sum():
+            starts_rep = np.repeat(flat_start, reps)
+            # within-range offsets: arange per segment
+            seg_end = np.cumsum(reps)
+            idx = np.arange(seg_end[-1])
+            seg_begin = np.repeat(seg_end - reps, reps)
+            tri_chunks.append((starts_rep + idx - seg_begin).astype(np.int32))
+        tri_done += int(row_tot.sum())
 
-        p = bounds[node, :3].astype(np.float32)
-        extent = np.maximum(bounds[node, 3:] - p, 1e-12)
-        e = np.ceil(np.log2(extent / 255.0)).astype(np.int32) + 127
-        e = np.clip(e, 1, 254)
-        scale = np.exp2((e - 127).astype(np.float64))
+        # --- meta bytes
+        meta8 = np.zeros((w, WIDTH), np.uint32)  # indexed by SLOT
+        sl = np.maximum(slots, 0)
+        leaf_meta = (((np.uint32(1) << cnt.astype(np.uint32)) - 1) << 5) | off.astype(
+            np.uint32
+        )
+        inner_meta = np.uint32(0x20) | (24 + sl).astype(np.uint32)
+        entry_meta = np.where(
+            is_leaf_child, leaf_meta, np.where(is_inner, inner_meta, 0)
+        ).astype(np.uint32)
+        np.put_along_axis(meta8, sl, np.where(valid, entry_meta, 0), axis=1)
+        imask = (
+            (np.where(is_inner, np.uint32(1), np.uint32(0)) << sl.astype(np.uint32))
+            .sum(axis=1)
+            .astype(np.uint32)
+        )
 
-        is_leaf_child = [bool(leaf[en] or count[en] <= MAX_LEAF_TRIS) for en in entries]
+        # --- quantized child boxes, by slot
+        blo = np.where(valid[:, :, None], bounds[Es, :3], 0.0)
+        bhi = np.where(valid[:, :, None], bounds[Es, 3:], 0.0)
+        q_lo_e = np.clip(
+            np.floor((blo - p[:, None, :]) / scale[:, None, :]), 0, 255
+        ).astype(np.uint32)
+        q_hi_e = np.clip(
+            np.ceil((bhi - p[:, None, :]) / scale[:, None, :]), 0, 255
+        ).astype(np.uint32)
+        q_lo = np.zeros((w, WIDTH, 3), np.uint32)
+        q_hi = np.zeros((w, WIDTH, 3), np.uint32)
+        np.put_along_axis(q_lo, sl[:, :, None], np.where(valid[:, :, None], q_lo_e, 0), axis=1)
+        np.put_along_axis(q_hi, sl[:, :, None], np.where(valid[:, :, None], q_hi_e, 0), axis=1)
 
-        tri_base = len(tri_order)
-        meta = np.zeros(WIDTH, np.uint32)
-        q_lo = np.zeros((WIDTH, 3), np.uint32)
-        q_hi = np.zeros((WIDTH, 3), np.uint32)
-        imask = 0
-        tri_offset = 0
-        inner_entries = []
-        for en, s, isl in zip(entries, slots, is_leaf_child):
-            blo = bounds[en, :3]
-            bhi = bounds[en, 3:]
-            q_lo[s] = np.clip(np.floor((blo - p) / scale), 0, 255).astype(np.uint32)
-            q_hi[s] = np.clip(np.ceil((bhi - p) / scale), 0, 255).astype(np.uint32)
-            if isl:
-                cnt = int(count[en])
-                unary = (1 << cnt) - 1
-                meta[s] = np.uint32((unary << 5) | tri_offset)
-                for t in range(int(start[en]), int(start[en]) + cnt):
-                    tri_order.append(t)
-                tri_offset += cnt
-            else:
-                imask |= 1 << s
-                inner_entries.append((s, en))
+        # --- next wave: inner children in (row, slot) order; child_base
+        n_inner = is_inner.sum(axis=1)
+        next_base = base8 + w
+        child_base = next_base + np.cumsum(n_inner) - n_inner
+        # order inner entries of each row by slot
+        slot_key = np.where(is_inner, slots, WIDTH + 1)
+        ordr = np.argsort(slot_key, axis=1, kind="stable")
+        E_by_slot = np.take_along_axis(E, ordr, axis=1)
+        inner_sorted = np.take_along_axis(is_inner, ordr, axis=1)
+        nxt = E_by_slot[inner_sorted]
 
-        inner_entries.sort(key=lambda x: x[0])
-        child_base = len(nodes)
-        for s, en in inner_entries:
-            meta[s] = np.uint32(0x20 | (24 + s))
-            work.append(reserve(en))
+        # --- pack words
+        words = np.zeros((w, 20), np.uint32)
+        words[:, 0:3] = p.view(np.uint32)
+        words[:, 3] = (
+            e[:, 0].astype(np.uint32)
+            | (e[:, 1].astype(np.uint32) << 8)
+            | (e[:, 2].astype(np.uint32) << 16)
+            | (imask << 24)
+        )
+        words[:, 4] = np.where(n_inner > 0, child_base, 0).astype(np.uint32)
+        words[:, 5] = tri_base.astype(np.uint32)
+        words[:, 6] = (
+            meta8[:, 0] | (meta8[:, 1] << 8) | (meta8[:, 2] << 16) | (meta8[:, 3] << 24)
+        )
+        words[:, 7] = (
+            meta8[:, 4] | (meta8[:, 5] << 8) | (meta8[:, 6] << 16) | (meta8[:, 7] << 24)
+        )
 
-        w = nodes[my_idx]
-        w[0:3] = np.frombuffer(p.astype("<f4").tobytes(), np.uint32)
-        w[3] = np.uint32(int(e[0]) | (int(e[1]) << 8) | (int(e[2]) << 16) | (imask << 24))
-        w[4] = np.uint32(child_base if inner_entries else 0)
-        w[5] = np.uint32(tri_base)
-        w[6] = np.uint32(meta[0] | (meta[1] << 8) | (meta[2] << 16) | (meta[3] << 24))
-        w[7] = np.uint32(meta[4] | (meta[5] << 8) | (meta[6] << 16) | (meta[7] << 24))
+        def pack4(vals):  # (W, 4) uint32 bytes → (W,) uint32
+            return vals[:, 0] | (vals[:, 1] << 8) | (vals[:, 2] << 16) | (vals[:, 3] << 24)
 
-        def pack4(vals):
-            return np.uint32(
-                int(vals[0]) | (int(vals[1]) << 8) | (int(vals[2]) << 16) | (int(vals[3]) << 24)
-            )
+        for axis, wbase in ((0, 8), (1, 12), (2, 16)):
+            words[:, wbase + 0] = pack4(q_lo[:, 0:4, axis])
+            words[:, wbase + 1] = pack4(q_lo[:, 4:8, axis])
+            words[:, wbase + 2] = pack4(q_hi[:, 0:4, axis])
+            words[:, wbase + 3] = pack4(q_hi[:, 4:8, axis])
 
-        for axis, base in ((0, 8), (1, 12), (2, 16)):
-            w[base + 0] = pack4(q_lo[0:4, axis])
-            w[base + 1] = pack4(q_lo[4:8, axis])
-            w[base + 2] = pack4(q_hi[0:4, axis])
-            w[base + 3] = pack4(q_hi[4:8, axis])
+        waves.append(words)
+        base8 = next_base
+        cur = nxt
 
-    return CWBVH(
-        nodes=np.stack(nodes).astype(np.uint32),
-        tri_order=np.asarray(tri_order, np.int32),
+    nodes = np.concatenate(waves, axis=0).astype(np.uint32)
+    tri_order = (
+        np.concatenate(tri_chunks) if tri_chunks else np.zeros(0, np.int32)
     )
+    return CWBVH(nodes=nodes, tri_order=tri_order)
