@@ -15,9 +15,12 @@ Numbers from these probes are recorded in benchmarks/PROFILE_r3.md.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, reps=5, warmup=2):
@@ -88,7 +91,7 @@ def main():
 
     margs = (
         ds.wb_group_bounds, ds.wb_mega,
-        ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start,
+        ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start, ds.wb_oct_blk,
     )
     closest = jax.jit(
         lambda o, d, og: tm.mega_closest(o, d, active, *margs, og=og)
@@ -99,7 +102,7 @@ def main():
             lambda o, d, og: tm._query(
                 o, d, jnp.where(active, 1e9, -1e9), og,
                 ds.wb_group_bounds, ds.wb_oct_bounds, ds.wb_oct_gid,
-                ds.wb_oct_start, ds.wb_mega,
+                ds.wb_oct_start, ds.wb_oct_blk, ds.wb_mega,
             )
         )
         outs = jax.block_until_ready(qj(o, d, og0))

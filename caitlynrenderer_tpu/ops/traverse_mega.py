@@ -147,13 +147,19 @@ def pack_octants(group_bounds, tri_starts):
                   of 8 entries against all 128 rays (padding entries are
                   NaN so every slab test misses),
       oct_gid:    (8, gpad) i32 — group id per entry,
-      oct_start:  (8, gpad) i32 — group's first global triangle id.
+      oct_start:  (8, gpad) i32 — group's first global triangle id,
+      oct_blk:    (8, nblk, 16) f32 — union bounds of each 128-entry
+                  block of the worklist (NaN for empty blocks): the
+                  coarse level of the kernel's hierarchical phase A —
+                  a block whose union box no packet can reach is culled
+                  without touching its 128 entry boxes.
     gpad = G padded to a multiple of 128 (the kernel scans 128-entry
-    blocks)."""
+    blocks); nblk = gpad // 128."""
     group_bounds = np.asarray(group_bounds, np.float32)
     tri_starts = np.asarray(tri_starts, np.int32)
     g = group_bounds.shape[0]
     gpad = max(128, -(-g // 128) * 128)
+    nblk = gpad // 128
     cen = 0.5 * (group_bounds[:, :3] + group_bounds[:, 3:])
     lo = cen.min(axis=0) if g else np.zeros(3)
     hi = cen.max(axis=0) if g else np.ones(3)
@@ -162,6 +168,7 @@ def pack_octants(group_bounds, tri_starts):
     oct_bounds = np.full((8, gpad, 16), np.nan, np.float32)
     oct_gid = np.zeros((8, gpad), np.int32)
     oct_start = np.zeros((8, gpad), np.int32)
+    oct_blk = np.full((8, nblk, 16), np.nan, np.float32)
     for o in range(8):
         sign = np.array(
             [-1.0 if o & 4 else 1.0, -1.0 if o & 2 else 1.0,
@@ -173,7 +180,12 @@ def pack_octants(group_bounds, tri_starts):
         oct_bounds[o, :g, 6:16] = 0.0
         oct_gid[o, :g] = order
         oct_start[o, :g] = tri_starts[order]
-    return oct_bounds, oct_gid, oct_start
+        for b in range(-(-g // 128)):
+            blk = group_bounds[order[b * 128 : min((b + 1) * 128, g)]]
+            oct_blk[o, b, 0:3] = blk[:, :3].min(axis=0)
+            oct_blk[o, b, 3:6] = blk[:, 3:].max(axis=0)
+            oct_blk[o, b, 6:16] = 0.0
+    return oct_bounds, oct_gid, oct_start, oct_blk
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +195,7 @@ def pack_octants(group_bounds, tri_starts):
 
 def _make_kernel(gpad: int, kp: int, anyhit: bool):
     kp3 = 3 * kp
+    nblk = gpad // 128
 
 
     def kernel(
@@ -191,6 +204,7 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
         starts_ref,  # (8, gpad) i32 scalar-prefetch: first tri id per entry
         rays_cm_ref,  # (1, 8, 128) f32 rows [ox,oy,oz,dx,dy,dz,tlim,·]
         wmeta_ref,  # (1, gpad, 16) f32 — octant worklist bounds (cols 0-5)
+        blk_ref,  # (1, nblk, 16) f32 — 128-entry block union bounds
         tris_hbm,  # (G, 8, 3·Kp) ANY — Baldwin–Weber plane blocks
         *refs,
     ):
@@ -214,295 +228,348 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
         rc = rays_cm_ref[0]  # (8, 128)
         tlim = rc[6:7, :]  # (1, 128)
 
-        # --- od matrix for the banded matmul: packet p's 16 ray columns
-        # carry [o;1] (cols 16p..) and [d;0] (cols 128+16p..) in
-        # contraction rows 8p..8p+8; everything else is zero.
-        od_ref[:, :] = jnp.zeros((PACKETS * KBAND, 256), jnp.float32)
-        for p in range(PACKETS):
-            s = PSUB * p
-            r0 = KBAND * p
-            od_ref[r0 : r0 + 3, s : s + PSUB] = rc[0:3, s : s + PSUB]
-            od_ref[r0 + 3 : r0 + 4, s : s + PSUB] = jnp.ones(
-                (1, PSUB), jnp.float32
-            )
-            od_ref[r0 : r0 + 3, 128 + s : 128 + s + PSUB] = rc[
-                3:6, s : s + PSUB
-            ]
+        # --- dead-tile skip: the coherence sort compacts dead lanes
+        # (t_lim = -INF) to the tail, so late-bounce tiles are often
+        # entirely dead — return misses without touching phase A, the
+        # worklists, or HBM (wavefront ray compaction for free).
+        tile_live = jnp.max(tlim) > -INF
 
-        # --- phase A: per-(entry, lane) slab entry-t + per-packet block
-        # minima, computed on the MXU.  The slab arithmetic
-        #   t0[k, l] = (bound[k] - o[l]) · dinv[l] = bound[k]·dinv[l]
-        #              - (o·dinv)[l]
-        # is six outer products — ONE block-diagonal K=8 matmul of the
-        # worklist bounds (gpad, 8) against a (8, 768) matrix whose
-        # column-block a carries dinv_a (bmin) / dinv_a again (bmax).
-        # (The per-octet VPU formulation measured 0.35 µs per 8 entries —
-        # sublane-value broadcasts are slow; the MXU is output-bound at
-        # 128 values/cycle, ~7 µs for the whole 1152-entry table.)
-        # Stores bm_ref[k, l] = min over lanes [l, l+PSUB) of ray-lane
-        # slab entry-t for entry k (INF = miss); only lanes PSUB·p are
-        # read — packet p's pending minimum, driving the 128-entry cursor
-        # block scans.  (A per-lane-exact issue test was tried and lost:
-        # its VMEM row read + reduce + cond per candidate cost more than
-        # the extra sweeps it avoided — see PROFILE_r3.md.)
-        # Clamp |d| ≥ 1e-12: the factored slab form bound·dinv − o·dinv
-        # would otherwise produce 0·inf = NaN for axis-aligned rays
-        # against bounds at 0 (the subtract-first form never does).  A
-        # parallel-outside ray then yields entry t ≥ ~1e10, which the
-        # t < t_lim acceptance rejects.
-        def _dinv(a):
-            da = rc[3 + a : 4 + a, :]
-            da = jnp.where(
-                jnp.abs(da) < 1e-12,
-                jnp.where(da < 0, -1e-12, 1e-12),
-                da,
-            )
-            return 1.0 / da
+        def _kernel_body():
 
-        dinv = [_dinv(a) for a in range(3)]
-        odinv = [rc[a : a + 1, :] * dinv[a] for a in range(3)]
-        bd_ref[:, :] = jnp.zeros((8, 768), jnp.float32)
-        for a in range(3):
-            bd_ref[a : a + 1, 128 * a : 128 * (a + 1)] = dinv[a]
-            bd_ref[a + 3 : a + 4, 128 * (a + 3) : 128 * (a + 4)] = dinv[a]
+            # --- od matrix for the banded matmul: packet p's 16 ray columns
+            # carry [o;1] (cols 16p..) and [d;0] (cols 128+16p..) in
+            # contraction rows 8p..8p+8; everything else is zero.
+            od_ref[:, :] = jnp.zeros((PACKETS * KBAND, 256), jnp.float32)
+            for p in range(PACKETS):
+                s = PSUB * p
+                r0 = KBAND * p
+                od_ref[r0 : r0 + 3, s : s + PSUB] = rc[0:3, s : s + PSUB]
+                od_ref[r0 + 3 : r0 + 4, s : s + PSUB] = jnp.ones(
+                    (1, PSUB), jnp.float32
+                )
+                od_ref[r0 : r0 + 3, 128 + s : 128 + s + PSUB] = rc[
+                    3:6, s : s + PSUB
+                ]
 
-        chunks = []
-        _c0 = 0
-        while _c0 < gpad:  # static chunking (bounds VMEM of the r value)
-            chunks.append((_c0, min(1024, gpad - _c0)))
-            _c0 += chunks[-1][1]
-        for c0, chk in chunks:
-            w = wmeta_ref[0, c0 : c0 + chk, 0:8]  # (chk, 8)
-            r = lax.dot_general(
-                w,
-                bd_ref[:, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )  # (chk, 768): block a = bound_a ⊗ dinv_a
-            tn = None
-            tf = None
+            # --- phase A: per-(entry, lane) slab entry-t + per-packet block
+            # minima, computed on the MXU.  The slab arithmetic
+            #   t0[k, l] = (bound[k] - o[l]) · dinv[l] = bound[k]·dinv[l]
+            #              - (o·dinv)[l]
+            # is six outer products — ONE block-diagonal K=8 matmul of the
+            # worklist bounds (gpad, 8) against a (8, 768) matrix whose
+            # column-block a carries dinv_a (bmin) / dinv_a again (bmax).
+            # (The per-octet VPU formulation measured 0.35 µs per 8 entries —
+            # sublane-value broadcasts are slow; the MXU is output-bound at
+            # 128 values/cycle, ~7 µs for the whole 1152-entry table.)
+            # Stores bm_ref[k, l] = min over lanes [l, l+PSUB) of ray-lane
+            # slab entry-t for entry k (INF = miss); only lanes PSUB·p are
+            # read — packet p's pending minimum, driving the 128-entry cursor
+            # block scans.  (A per-lane-exact issue test was tried and lost:
+            # its VMEM row read + reduce + cond per candidate cost more than
+            # the extra sweeps it avoided — see PROFILE_r3.md.)
+            # Clamp |d| ≥ 1e-12: the factored slab form bound·dinv − o·dinv
+            # would otherwise produce 0·inf = NaN for axis-aligned rays
+            # against bounds at 0 (the subtract-first form never does).  A
+            # parallel-outside ray then yields entry t ≥ ~1e10, which the
+            # t < t_lim acceptance rejects.
+            def _dinv(a):
+                da = rc[3 + a : 4 + a, :]
+                da = jnp.where(
+                    jnp.abs(da) < 1e-12,
+                    jnp.where(da < 0, -1e-12, 1e-12),
+                    da,
+                )
+                return 1.0 / da
+
+            dinv = [_dinv(a) for a in range(3)]
+            odinv = [rc[a : a + 1, :] * dinv[a] for a in range(3)]
+            bd_ref[:, :] = jnp.zeros((8, 768), jnp.float32)
             for a in range(3):
-                t0 = r[:, 128 * a : 128 * (a + 1)] - odinv[a]
-                t1 = r[:, 128 * (a + 3) : 128 * (a + 4)] - odinv[a]
-                lo = jnp.minimum(t0, t1)
-                hi = jnp.maximum(t0, t1)
-                tn = lo if tn is None else jnp.maximum(tn, lo)
-                tf = hi if tf is None else jnp.minimum(tf, hi)
-            ok = (tf > 0) & (tf >= tn) & (tn < tlim)
-            tnm = jnp.where(ok, jnp.maximum(tn, 0.0), INF)
-            bm = tnm  # windowed lane-min: lane l covers [l, l+PSUB-1]
+                bd_ref[a : a + 1, 128 * a : 128 * (a + 1)] = dinv[a]
+                bd_ref[a + 3 : a + 4, 128 * (a + 3) : 128 * (a + 4)] = dinv[a]
+
+            def slab_min(w):
+                """Per-(row, lane) slab entry-t of bound rows `w` (n, 8)
+                against all 128 rays, then windowed per-packet lane-min
+                (lane PSUB·p = min over packet p's lanes).  INF = miss."""
+                r = lax.dot_general(
+                    w,
+                    bd_ref[:, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )  # (n, 768): block a = bound_a ⊗ dinv_a
+                tn = None
+                tf = None
+                for a in range(3):
+                    t0 = r[:, 128 * a : 128 * (a + 1)] - odinv[a]
+                    t1 = r[:, 128 * (a + 3) : 128 * (a + 4)] - odinv[a]
+                    lo = jnp.minimum(t0, t1)
+                    hi = jnp.maximum(t0, t1)
+                    tn = lo if tn is None else jnp.maximum(tn, lo)
+                    tf = hi if tf is None else jnp.minimum(tf, hi)
+                ok = (tf > 0) & (tf >= tn) & (tn < tlim)
+                bm = jnp.where(ok, jnp.maximum(tn, 0.0), INF)
+                sh = 1
+                while sh < PSUB:
+                    # roll(x, 128-sh) ≡ shift by -sh: lane l reads l+sh
+                    bm = jnp.minimum(bm, pltpu.roll(bm, 128 - sh, 1))
+                    sh *= 2
+                return bm
+
+            # Per-packet initial bound (max live t_lim): drives the
+            # coarse block cull below.  Windowed lane-MAX, same trick.
+            pmax = tlim
             sh = 1
             while sh < PSUB:
-                # roll(x, 128-sh) ≡ shift by -sh: lane l reads lane l+sh
-                bm = jnp.minimum(bm, pltpu.roll(bm, 128 - sh, 1))
+                pmax = jnp.maximum(pmax, pltpu.roll(pmax, 128 - sh, 1))
                 sh *= 2
-            bm_ref[c0 : c0 + chk, :] = bm
 
-        # --- state init
-        bt_ref[0:1, :] = tlim
-        aux_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)
-        if not anyhit:
-            gw_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)
-        for p in range(PACKETS):
-            tmax_ref[p] = jnp.max(tlim[0:1, PSUB * p : PSUB * (p + 1)])
-            cur_ref[p] = 0
-        cur_ref[PACKETS + 1] = 0  # stats: sweep steps
+            # --- hierarchical phase A.  Coarse level: slab the nblk
+            # 128-entry block union boxes (one tiny matmul); a block no
+            # packet can reach writes INF without touching its entries.
+            # At 1M tris (nblk = 64) this skips ~90% of the fine-level
+            # MXU work for typical tiles.
+            blk_bm = slab_min(blk_ref[0, :, 0:8])  # (nblk, 128)
+            head = (lax.broadcasted_iota(jnp.int32, (nblk, 128), 1) % PSUB) == 0
+            blk_needed = (blk_bm < pmax) & head  # packet-head lanes only
 
-        lane_iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        lane_pkt = lane_iota // PSUB  # lane → packet id
-        sub_iota = lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+            for b in range(nblk):
+                blive = jnp.any(blk_needed[b : b + 1, :])
 
-        def scan_next(p, k0):
-            """Next worklist entry ≥ k0 that SOME ray of packet p still
-            needs (its slab entry-t beats that ray's own current bound);
-            gpad if none.  One vector op scans a 128-entry block of the
-            packet-min column."""
+                @pl.when(blive)
+                def _(b=b):
+                    bm_ref[b * 128 : (b + 1) * 128, :] = slab_min(
+                        wmeta_ref[0, b * 128 : (b + 1) * 128, 0:8]
+                    )
 
-            def cond(st):
-                k2, m = st
-                return (m >= gpad) & (k2 < gpad)
+                @pl.when(jnp.logical_not(blive))
+                def _(b=b):
+                    bm_ref[b * 128 : (b + 1) * 128, :] = jnp.full(
+                        (128, 128), INF, jnp.float32
+                    )
 
-            def body(st):
-                k2, _ = st
-                kb = k2 // 128
-                col = bm_ref[pl.ds(kb * 128, 128), PSUB * p : PSUB * p + 1]
-                si = sub_iota + kb * 128
-                ok = (col < tmax_ref[p]) & (si >= k2)
-                m2 = jnp.min(jnp.where(ok, si, gpad))
-                return ((kb + 1) * 128, m2)
-
-            _, m = lax.while_loop(
-                cond, body, (jnp.int32(k0), jnp.int32(gpad))
-            )
-            return m
-
-        def issue(slot):
-            """Advance every packet's cursor once; DMA its next group's
-            plane block into the slot's sublane band."""
+            # --- state init
+            bt_ref[0:1, :] = tlim
+            aux_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)
+            if not anyhit:
+                gw_ref[0:1, :] = jnp.full((1, 128), -1, jnp.int32)
             for p in range(PACKETS):
-                k = scan_next(p, cur_ref[p])
-                good = k < gpad
+                tmax_ref[p] = jnp.max(tlim[0:1, PSUB * p : PSUB * (p + 1)])
+                cur_ref[p] = 0
+            cur_ref[PACKETS + 1] = 0  # stats: sweep steps
 
-                @pl.when(good)
-                def _(p=p, k=k, slot=slot):
-                    g = gids_ref[oct, k]
-                    pltpu.make_async_copy(
-                        tris_hbm.at[g],
-                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
-                        sem.at[slot, p],
-                    ).start()
-                    sl_ref[slot * PACKETS + p, 0] = 1
-                    sl_ref[slot * PACKETS + p, 1] = starts_ref[oct, k]
-                    sl_ref[slot * PACKETS + p, 2] = g
+            lane_iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            lane_pkt = lane_iota // PSUB  # lane → packet id
+            sub_iota = lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
-                @pl.when(jnp.logical_not(good))
-                def _(p=p, slot=slot):
-                    sl_ref[slot * PACKETS + p, 0] = 0
+            def scan_next(p, k0):
+                """Next worklist entry ≥ k0 that SOME ray of packet p still
+                needs (its slab entry-t beats that ray's own current bound);
+                gpad if none.  One vector op scans a 128-entry block of the
+                packet-min column."""
 
-                cur_ref[p] = jnp.where(good, k + 1, gpad)
+                def cond(st):
+                    k2, m = st
+                    return (m >= gpad) & (k2 < gpad)
 
-        # --- prologue: fill the ring DEPTH steps ahead (cursors only
-        # ever exhaust, so the main loop stops at the first empty slot).
-        if _PHASE_A_ONLY:
-            # consume phase A output so it isn't dead-code-eliminated
-            bt_ref[0:1, :] = jnp.minimum(bt_ref[0:1, :], bm_ref[0:1, :])
-            for s in range(DEPTH * PACKETS):
-                sl_ref[s, 0] = 0
-        _range = () if _PHASE_A_ONLY else range(DEPTH)
-        for s in _range:
-            issue(s)
+                def body(st):
+                    k2, _ = st
+                    kb = k2 // 128
+                    col = bm_ref[pl.ds(kb * 128, 128), PSUB * p : PSUB * p + 1]
+                    si = sub_iota + kb * 128
+                    ok = (col < tmax_ref[p]) & (si >= k2)
+                    m2 = jnp.min(jnp.where(ok, si, gpad))
+                    return ((kb + 1) * 128, m2)
 
-        def smem_vec(slot, col):
-            """(1, 128) vector from the slot's 8 per-packet SMEM scalars
-            (sl_ref column `col`), broadcast to each packet's 16 lanes."""
-            v = jnp.zeros((1, 128), jnp.int32)
-            for p in range(PACKETS):
-                v = jnp.where(
-                    lane_pkt == p, sl_ref[slot * PACKETS + p, col], v
+                _, m = lax.while_loop(
+                    cond, body, (jnp.int32(k0), jnp.int32(gpad))
                 )
-            return v
+                return m
 
-        def step_cond(s):
-            slot = s % DEPTH
-            alive = 0
-            for p in range(PACKETS):
-                alive = alive + sl_ref[slot * PACKETS + p, 0]
-            return alive > 0
+            def issue(slot):
+                """Advance every packet's cursor once; DMA its next group's
+                plane block into the slot's sublane band."""
+                for p in range(PACKETS):
+                    k = scan_next(p, cur_ref[p])
+                    good = k < gpad
 
-        def step_body(s):
-            slot = s % DEPTH
-            valid = smem_vec(slot, 0)
-            startv = smem_vec(slot, 1)
-            gidv = smem_vec(slot, 2)
-            for p in range(PACKETS):
-                @pl.when(sl_ref[slot * PACKETS + p, 0] > 0)
-                def _(p=p, slot=slot):
-                    pltpu.make_async_copy(
-                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
-                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
-                        sem.at[slot, p],
-                    ).wait()
+                    @pl.when(good)
+                    def _(p=p, k=k, slot=slot):
+                        g = gids_ref[oct, k]
+                        pltpu.make_async_copy(
+                            tris_hbm.at[g],
+                            ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                            sem.at[slot, p],
+                        ).start()
+                        sl_ref[slot * PACKETS + p, 0] = 1
+                        sl_ref[slot * PACKETS + p, 1] = starts_ref[oct, k]
+                        sl_ref[slot * PACKETS + p, 2] = g
 
-            if _NO_SWEEP:  # perf probe: DMA + scheduling only
+                    @pl.when(jnp.logical_not(good))
+                    def _(p=p, slot=slot):
+                        sl_ref[slot * PACKETS + p, 0] = 0
+
+                    cur_ref[p] = jnp.where(good, k + 1, gpad)
+
+            # --- prologue: fill the ring DEPTH steps ahead (cursors only
+            # ever exhaust, so the main loop stops at the first empty slot).
+            if _PHASE_A_ONLY:
+                # consume phase A output so it isn't dead-code-eliminated
+                bt_ref[0:1, :] = jnp.minimum(bt_ref[0:1, :], bm_ref[0:1, :])
+                for s in range(DEPTH * PACKETS):
+                    sl_ref[s, 0] = 0
+            _range = () if _PHASE_A_ONLY else range(DEPTH)
+            for s in _range:
+                issue(s)
+
+            def smem_vec(slot, col):
+                """(1, 128) vector from the slot's 8 per-packet SMEM scalars
+                (sl_ref column `col`), broadcast to each packet's 16 lanes."""
+                v = jnp.zeros((1, 128), jnp.int32)
+                for p in range(PACKETS):
+                    v = jnp.where(
+                        lane_pkt == p, sl_ref[slot * PACKETS + p, col], v
+                    )
+                return v
+
+            def step_cond(s):
+                slot = s % DEPTH
+                alive = 0
+                for p in range(PACKETS):
+                    alive = alive + sl_ref[slot * PACKETS + p, 0]
+                return alive > 0
+
+            def step_body(s):
+                slot = s % DEPTH
+                valid = smem_vec(slot, 0)
+                startv = smem_vec(slot, 1)
+                gidv = smem_vec(slot, 2)
+                for p in range(PACKETS):
+                    @pl.when(sl_ref[slot * PACKETS + p, 0] > 0)
+                    def _(p=p, slot=slot):
+                        pltpu.make_async_copy(
+                            ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                            ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                            sem.at[slot, p],
+                        ).wait()
+
+                if _NO_SWEEP:  # perf probe: DMA + scheduling only
+                    cur_ref[PACKETS + 1] = cur_ref[PACKETS + 1] + 1
+                    issue(slot)
+                    return s + 1
+                r = lax.dot_general(
+                    ring[slot],  # (64, 3·Kp)
+                    od_ref[:, :],  # (64, 256)
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )  # (3·Kp, 256)
+                an = r[0:kp, 0:128]
+                bn = r[0:kp, 128:256]
+                au = r[kp : 2 * kp, 0:128]
+                bu = r[kp : 2 * kp, 128:256]
+                av = r[2 * kp : 3 * kp, 0:128]
+                bv = r[2 * kp : 3 * kp, 128:256]
+                t = -an / bn
+                u = au + t * bu
+                v = av + t * bv
+                bt = bt_ref[0:1, :]
+                okm = (
+                    (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t >= 0) & (t < bt)
+                    & (valid > 0)
+                )
+                if anyhit:
+                    hit_any = jnp.any(okm, axis=0, keepdims=True)
+                    aux_ref[0:1, :] = jnp.maximum(
+                        aux_ref[0:1, :], hit_any.astype(jnp.int32)
+                    )
+                    new_bt = jnp.where(hit_any, -INF, bt)
+                else:
+                    tm = jnp.where(okm, t, INF)
+                    vmin = jnp.min(tm, axis=0, keepdims=True)
+                    improved = vmin < bt
+                    # packed argmin: one reduce carries the winner row in the
+                    # low 8 bits (t granularity 2^-15 relative; exact t keeps
+                    # the bound tight via vmin above).
+                    rid = lax.broadcasted_iota(jnp.int32, (kp, 128), 0)
+                    key = (
+                        (pltpu.bitcast(tm, jnp.int32) & jnp.int32(~0xFF)) | rid
+                    )
+                    kmin = jnp.min(key, axis=0, keepdims=True)
+                    row = kmin & 0xFF
+                    new_bt = jnp.where(improved, vmin, bt)
+                    aux_ref[0:1, :] = jnp.where(
+                        improved, startv + row, aux_ref[0:1, :]
+                    )
+                    gw_ref[0:1, :] = jnp.where(improved, gidv, gw_ref[0:1, :])
+                bt_ref[0:1, :] = new_bt
+                for p in range(PACKETS):
+                    tmax_ref[p] = jnp.max(
+                        new_bt[0:1, PSUB * p : PSUB * (p + 1)]
+                    )
                 cur_ref[PACKETS + 1] = cur_ref[PACKETS + 1] + 1
-                issue(slot)
+                issue(slot)  # refill the slot DEPTH steps ahead
                 return s + 1
-            r = lax.dot_general(
-                ring[slot],  # (64, 3·Kp)
-                od_ref[:, :],  # (64, 256)
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )  # (3·Kp, 256)
-            an = r[0:kp, 0:128]
-            bn = r[0:kp, 128:256]
-            au = r[kp : 2 * kp, 0:128]
-            bu = r[kp : 2 * kp, 128:256]
-            av = r[2 * kp : 3 * kp, 0:128]
-            bv = r[2 * kp : 3 * kp, 128:256]
-            t = -an / bn
-            u = au + t * bu
-            v = av + t * bv
-            bt = bt_ref[0:1, :]
-            okm = (
-                (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t >= 0) & (t < bt)
-                & (valid > 0)
-            )
+
+            s_end = lax.while_loop(step_cond, step_body, 0)
+
+            # --- drain in-flight DMAs of the unprocessed ring slots.
+            def drain(j, _):
+                slot = j % DEPTH
+                for p in range(PACKETS):
+                    @pl.when(sl_ref[slot * PACKETS + p, 0] > 0)
+                    def _(p=p, slot=slot):
+                        pltpu.make_async_copy(
+                            ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                            ring.at[slot, pl.ds(KBAND * p, KBAND), :],
+                            sem.at[slot, p],
+                        ).wait()
+                return 0
+
+            lax.fori_loop(s_end + 1, s_end + DEPTH, drain, 0)
+
             if anyhit:
-                hit_any = jnp.any(okm, axis=0, keepdims=True)
-                aux_ref[0:1, :] = jnp.maximum(
-                    aux_ref[0:1, :], hit_any.astype(jnp.int32)
+                hit_ref[0] = jnp.broadcast_to(
+                    jnp.maximum(aux_ref[0:1, :], 0), (8, 128)
                 )
-                new_bt = jnp.where(hit_any, -INF, bt)
             else:
-                tm = jnp.where(okm, t, INF)
-                vmin = jnp.min(tm, axis=0, keepdims=True)
-                improved = vmin < bt
-                # packed argmin: one reduce carries the winner row in the
-                # low 8 bits (t granularity 2^-15 relative; exact t keeps
-                # the bound tight via vmin above).
-                rid = lax.broadcasted_iota(jnp.int32, (kp, 128), 0)
-                key = (
-                    (pltpu.bitcast(tm, jnp.int32) & jnp.int32(~0xFF)) | rid
+                t_ref[0] = jnp.broadcast_to(bt_ref[0:1, :], (8, 128))
+                tri_ref[0] = jnp.broadcast_to(aux_ref[0:1, :], (8, 128))
+                gw_out_ref[0] = jnp.broadcast_to(gw_ref[0:1, :], (8, 128))
+            if _STATS:
+                rowi = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                stats_ref[0] = jnp.where(
+                    rowi == 0, cur_ref[PACKETS + 1], 0
                 )
-                kmin = jnp.min(key, axis=0, keepdims=True)
-                row = kmin & 0xFF
-                new_bt = jnp.where(improved, vmin, bt)
-                aux_ref[0:1, :] = jnp.where(
-                    improved, startv + row, aux_ref[0:1, :]
-                )
-                gw_ref[0:1, :] = jnp.where(improved, gidv, gw_ref[0:1, :])
-            bt_ref[0:1, :] = new_bt
-            for p in range(PACKETS):
-                tmax_ref[p] = jnp.max(
-                    new_bt[0:1, PSUB * p : PSUB * (p + 1)]
-                )
-            cur_ref[PACKETS + 1] = cur_ref[PACKETS + 1] + 1
-            issue(slot)  # refill the slot DEPTH steps ahead
-            return s + 1
 
-        s_end = lax.while_loop(step_cond, step_body, 0)
 
-        # --- drain in-flight DMAs of the unprocessed ring slots.
-        def drain(j, _):
-            slot = j % DEPTH
-            for p in range(PACKETS):
-                @pl.when(sl_ref[slot * PACKETS + p, 0] > 0)
-                def _(p=p, slot=slot):
-                    pltpu.make_async_copy(
-                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
-                        ring.at[slot, pl.ds(KBAND * p, KBAND), :],
-                        sem.at[slot, p],
-                    ).wait()
-            return 0
+        @pl.when(jnp.logical_not(tile_live))
+        def _dead():
+            if anyhit:
+                hit_ref[0] = jnp.zeros((8, 128), jnp.int32)
+            else:
+                t_ref[0] = jnp.full((8, 128), -INF, jnp.float32)
+                tri_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+                gw_out_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+            if _STATS:
+                stats_ref[0] = jnp.zeros((8, 128), jnp.int32)
 
-        lax.fori_loop(s_end + 1, s_end + DEPTH, drain, 0)
-
-        if anyhit:
-            hit_ref[0] = jnp.broadcast_to(
-                jnp.maximum(aux_ref[0:1, :], 0), (8, 128)
-            )
-        else:
-            t_ref[0] = jnp.broadcast_to(bt_ref[0:1, :], (8, 128))
-            tri_ref[0] = jnp.broadcast_to(aux_ref[0:1, :], (8, 128))
-            gw_out_ref[0] = jnp.broadcast_to(gw_ref[0:1, :], (8, 128))
-        if _STATS:
-            rowi = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            stats_ref[0] = jnp.where(
-                rowi == 0, cur_ref[PACKETS + 1], 0
-            )
+        @pl.when(tile_live)
+        def _live():
+            _kernel_body()
 
     return kernel
 
 
-def _launch(o, d, t_lim, oct_tile, oct_bounds, oct_gid, oct_start, planes,
-            anyhit=False):
+def _launch(o, d, t_lim, oct_tile, oct_bounds, oct_gid, oct_start, oct_blk,
+            planes, anyhit=False):
     """One chunk (ray count a multiple of TILE)."""
     n = o.shape[0]
     g, _, kp3 = planes.shape
     kp = kp3 // 3
     gpad = oct_gid.shape[1]
+    nblk = gpad // 128
     n_sub = n // TILE
 
     rays_cm = jnp.stack(
@@ -546,6 +613,11 @@ def _launch(o, d, t_lim, oct_tile, oct_bounds, oct_gid, oct_start, planes,
                 lambda i, oct_r, *_: (oct_r[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, nblk, 16),
+                lambda i, oct_r, *_: (oct_r[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=out_specs,
@@ -570,7 +642,7 @@ def _launch(o, d, t_lim, oct_tile, oct_bounds, oct_gid, oct_start, planes,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interp(),
-    )(oct_tile, oct_gid, oct_start, rays_cm, oct_bounds, planes)
+    )(oct_tile, oct_gid, oct_start, rays_cm, oct_bounds, oct_blk, planes)
     take = lambda x: x[:, 0, :].reshape(n_sub * TILE)
     if _STATS:
         stats, outs = outs[0], outs[1:]
@@ -695,8 +767,8 @@ def _xla_reference(o, d, t_lim, starts, planes, anyhit):
     )
 
 
-def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, planes,
-           anyhit=False):
+def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, oct_blk,
+           planes, anyhit=False):
     n = o.shape[0]
     t_lim = _scene_exit_bound(o, d, t_lim, bounds)
     if not (_use_kernel() or _STATS):
@@ -716,7 +788,7 @@ def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, planes,
         t_lim = jnp.concatenate([t_lim, jnp.full(pad, -INF, jnp.float32)])
         oct_ = jnp.concatenate([oct_, jnp.zeros(pad, oct_.dtype)])
     oct_tile = oct_[::TILE].astype(jnp.int32)
-    args = (oct_bounds, oct_gid, oct_start, planes)
+    args = (oct_bounds, oct_gid, oct_start, oct_blk, planes)
     if o.shape[0] == c:
         out = _launch(o, d, t_lim, oct_tile, *args, anyhit=anyhit)
     else:
@@ -739,7 +811,7 @@ def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, planes,
 
 
 def mega_closest(o, d, active, group_bounds, mega_blocks, oct_bounds,
-                 oct_gid, oct_start, og=None):
+                 oct_gid, oct_start, oct_blk, og=None):
     """Closest-hit via the packet megakernel.  Returns (t, tri, group);
     tri/group = -1 on miss.  mega_blocks from `pack_mega`; oct_* from
     `pack_octants`; og = per-ray origin group (the previous traversal's
@@ -757,14 +829,14 @@ def mega_closest(o, d, active, group_bounds, mega_blocks, oct_bounds,
     t_lim = jnp.where(active, jnp.float32(INF), jnp.float32(-INF))
     t, tri, grp = _query(
         o, d, t_lim, og, group_bounds, oct_bounds, oct_gid, oct_start,
-        mega_blocks,
+        oct_blk, mega_blocks,
     )
     t = jnp.where(tri >= 0, t, INF)
     return t, tri, grp
 
 
 def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks, oct_bounds,
-                oct_gid, oct_start, og=None):
+                oct_gid, oct_start, oct_blk, og=None):
     """Any-hit via the packet megakernel, with per-packet early exit:
     a lane that finds any hit leaves its packet's bound, so each packet
     stops as soon as every live lane is occluded (the tile-consensus
@@ -777,6 +849,6 @@ def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks, oct_bounds,
     t_lim = jnp.where(active, t_max, -INF)
     (hit,) = _query(
         o, d, t_lim, og, group_bounds, oct_bounds, oct_gid, oct_start,
-        mega_blocks, anyhit=True,
+        oct_blk, mega_blocks, anyhit=True,
     )
     return hit > 0

@@ -115,7 +115,8 @@ def _closest_hit_raw(
 
         t, tri, grp = mega_closest(
             o, d, active, ds.wb_group_bounds, ds.wb_mega,
-            ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start, og=og,
+            ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start,
+            ds.wb_oct_blk, og=og,
         )
         zero = jnp.zeros_like(t)
         return Hit(t, tri, zero, zero), grp
@@ -155,7 +156,8 @@ def _occluded(
 
         return mega_anyhit(
             o, d, t_max, active, ds.wb_group_bounds, ds.wb_mega,
-            ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start, og=og,
+            ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start,
+            ds.wb_oct_blk, og=og,
         )
     if options.accel == "cwbvh":
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit

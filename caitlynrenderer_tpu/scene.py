@@ -37,6 +37,7 @@ class DeviceScene(NamedTuple):
     wb_oct_bounds: jax.Array  # (8, 8, gpad) f32 — per-octant worklist bounds
     wb_oct_gid: jax.Array  # (8, gpad) i32 — per-octant group order
     wb_oct_start: jax.Array  # (8, gpad) i32 — per-octant first tri id
+    wb_oct_blk: jax.Array  # (8, nblk, 16) f32 — per-octant 128-entry block bounds
     # NOTE: the leaf width used at build time is a *static* render option
     # (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
     # static; it is not stored here because NamedTuple fields are pytree
@@ -173,7 +174,7 @@ def upload_scene(
         from caitlynrenderer_tpu.ops.traverse_mega import pack_mega, pack_octants
 
         wb_mega = pack_mega(wb.packed_tris, wb.tri_index)
-        oct_bounds, oct_gid, oct_start = pack_octants(
+        oct_bounds, oct_gid, oct_start, oct_blk = pack_octants(
             wb.group_bounds, wb.tri_index[:, 0]
         )
     else:
@@ -181,6 +182,7 @@ def upload_scene(
         oct_bounds = np.zeros((8, 8, 128), np.float32)
         oct_gid = np.zeros((8, 128), np.int32)
         oct_start = np.zeros((8, 128), np.int32)
+        oct_blk = np.full((8, 1, 16), np.nan, np.float32)
 
     dev_scene = jax.tree_util.tree_map(to_dev, ordered)
     return DeviceScene(
@@ -196,4 +198,5 @@ def upload_scene(
         wb_oct_bounds=to_dev(oct_bounds),
         wb_oct_gid=to_dev(oct_gid),
         wb_oct_start=to_dev(oct_start),
+        wb_oct_blk=to_dev(oct_blk),
     )

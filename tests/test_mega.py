@@ -39,10 +39,11 @@ def _build(scene, kg=128):
         np.asarray(sr.vertices), np.asarray(sr.tri_v), bvh, group_tris=kg
     )
     planes = jnp.asarray(pack_mega(wb.packed_tris, wb.tri_index))
-    ob, og_, os_ = pack_octants(wb.group_bounds, wb.tri_index[:, 0])
+    ob, og_, os_, oblk = pack_octants(wb.group_bounds, wb.tri_index[:, 0])
     args = (
         jnp.asarray(wb.group_bounds), planes,
         jnp.asarray(ob), jnp.asarray(og_), jnp.asarray(os_),
+        jnp.asarray(oblk),
     )
     return sr, args
 
@@ -205,9 +206,9 @@ sr = reorder_scene(scene, bvh)
 wb = build_wide(np.asarray(sr.vertices), np.asarray(sr.tri_v), bvh,
                 group_tris=128)
 planes = jnp.asarray(tm.pack_mega(wb.packed_tris, wb.tri_index))
-ob, ogi, osi = tm.pack_octants(wb.group_bounds, wb.tri_index[:, 0])
+ob, ogi, osi, oblk = tm.pack_octants(wb.group_bounds, wb.tri_index[:, 0])
 args = (jnp.asarray(wb.group_bounds), planes, jnp.asarray(ob),
-        jnp.asarray(ogi), jnp.asarray(osi))
+        jnp.asarray(ogi), jnp.asarray(osi), jnp.asarray(oblk))
 rng = np.random.default_rng(0)
 n = 128
 o = rng.random((n, 3)).astype(np.float32) * 12 - 1
