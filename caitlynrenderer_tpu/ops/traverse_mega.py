@@ -62,7 +62,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF = 1e9
 TILE = 128  # rays per kernel tile (= VPU lane width)
-PACKETS = 4  # ray packets per tile (4×32 measured best; see PROFILE_r3.md)
+# Ray packets per tile.  4×32 measured best for the v3 scan-per-step
+# scheduler (PROFILE_r3.md); re-tunable via MEGA_PACKETS now that the
+# block cull changed the scan/sweep balance.
+PACKETS = int(os.environ.get("MEGA_PACKETS", "4"))
 PSUB = TILE // PACKETS  # rays per packet
 KBAND = 8  # contraction rows per packet band (= plane block rows)
 CHUNK = 262144  # rays per kernel launch

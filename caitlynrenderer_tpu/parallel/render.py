@@ -145,7 +145,12 @@ def sharded_train_step(
     The loss is the global mean-squared error between a 1-spp render under
     `params` and the target; each device differentiates its local loss and
     `psum`s gradients over ('dp','sp') — the renderer's gradient
-    all-reduce (BASELINE.json north star).  Returns (params', loss)."""
+    all-reduce (BASELINE.json north star).  `params` takes any subset of
+    grad.inverse.apply_params' keys (albedo, disney, emission, vertices,
+    cam_position, cam_fov) — BASELINE config #5 optimizes Disney BSDF +
+    camera parameters.  Returns (params', loss)."""
+    from caitlynrenderer_tpu.grad.inverse import apply_params
+
     dp = mesh.shape["dp"]
     n_pad = target.shape[0]
     block = n_pad // dp
@@ -157,12 +162,7 @@ def sharded_train_step(
         k = sampling.sample_key(jax.random.fold_in(key, sp_idx), sample_idx)
 
         def local_loss(p):
-            ds2 = ds._replace(
-                scene=ds.scene._replace(
-                    materials=ds.scene.materials._replace(albedo=p["albedo"])
-                )
-            )
-            cam2 = camera._replace(position=p["cam_position"])
+            ds2, cam2 = apply_params(ds, camera, p)
             radiance = _local_sample(ds2, cam2, k, pixel_ids, width, height, options)
             return jnp.sum((radiance - target_local) ** 2)
 
@@ -170,8 +170,15 @@ def sharded_train_step(
         loss = lax.psum(loss, ("dp", "sp"))
         grads = jax.tree_util.tree_map(lambda g: lax.psum(g, ("dp", "sp")), grads)
         denom = n_pad * mesh.shape["sp"]
+        # RMS-normalized step per leaf: heterogeneous parameter groups
+        # (BSDF roughness in [0,1] next to camera position in scene
+        # units) get comparable step sizes — lr is "param units moved
+        # per step", robust where a single raw-gradient scale stalls.
         new_params = jax.tree_util.tree_map(
-            lambda p, g: p - lr * g / denom, params, grads
+            lambda p, g: p
+            - lr * g / (jnp.sqrt(jnp.mean(g * g)) + 1e-12),
+            params,
+            grads,
         )
         return new_params, loss / denom
 

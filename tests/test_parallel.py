@@ -93,3 +93,63 @@ def test_sharded_train_step_reduces_loss(cornell):
     assert losses[-1] < losses[0]
     # Params replicated (single logical value).
     assert params["albedo"].shape == true_albedo.shape
+
+
+@pytest.mark.slow
+def test_config5_disney_camera_recovery(cornell):
+    """BASELINE config #5: recover Disney BSDF + camera parameters from a
+    target image with multi-device sharded rays (r2 verdict #7 — no more
+    albedo/camera hardcode in sharded_train_step).
+
+    Perturbations are sized to the 12x12 probe resolution: the camera
+    moves ~1 pixel footprint (0.4 scene units) and the Disney floor's
+    roughness is off by 0.4 — both leave a strong signal over the 1-spp
+    MC noise floor; the loss itself plateaus at that noise floor, so the
+    assertions are on parameter recovery."""
+    from caitlynrenderer_tpu.core.types import MaterialType, make_camera
+    from caitlynrenderer_tpu.io.builtin_scenes import cornell_box
+
+    scene, _ = cornell_box(floor_type=MaterialType.DISNEY, with_boxes=False)
+    pos = np.array([2.78, 2.73, 7.5], np.float32)
+    camera = make_camera(pos, pos + np.array([0, -0.2, -1.0], np.float32), 40.0)
+    ds = upload_scene(scene, accel="bvh2")
+    w = h = 12
+    options = RenderOptions(width=w, height=h, max_depth=2)
+    mesh = make_mesh(jax.devices()[:8], shape=(4, 2))
+
+    # Ground-truth target from the true params (2 sharded samples).
+    st = init_sharded_state(mesh, w, h, seed=11)
+    st = sharded_render_step(ds, camera, st, mesh, w, h, options)
+    target = st.accum / mesh.shape["sp"]
+
+    true_disney = np.asarray(ds.scene.materials.disney)
+    floor = (
+        np.asarray(ds.scene.materials.albedo[:, 3])
+        == int(MaterialType.DISNEY)
+    )
+    pert = true_disney.copy()
+    pert[floor, 0] = np.clip(pert[floor, 0] + 0.4, 0.02, 0.98)
+    cam_off = np.array([0.4, 0.0, 0.0], np.float32)
+    params = {
+        "disney": jnp.asarray(pert),
+        "cam_position": jnp.asarray(camera.position + cam_off),
+    }
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(20):
+        params, loss = sharded_train_step(
+            params, ds, camera, target, key, jnp.int32(i), mesh, w, h,
+            options, lr=2e-2,
+        )
+        losses.append(float(loss))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    cam_err = np.linalg.norm(np.asarray(params["cam_position"]) - pos)
+    assert cam_err < 0.3, cam_err  # started at 0.4
+    r_err = np.abs(
+        np.asarray(params["disney"])[floor, 0] - true_disney[floor, 0]
+    ).max()
+    # Roughness converges more slowly than camera (its gradient rides on
+    # the diffuse retro/sheen terms at this view): assert clear movement
+    # toward the truth; full convergence is the CLI optimizer's job with
+    # a real step budget (cli.py optimize).
+    assert r_err < 0.37, r_err  # started at 0.4
