@@ -121,6 +121,18 @@ def _closest_hit_raw(
         zero = jnp.zeros_like(t)
         return Hit(t, tri, zero, zero), grp
     if options.accel == "cwbvh":
+        use_pallas = _pallas_flag(options)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from caitlynrenderer_tpu.ops.traverse_cw8 import cw8_closest
+
+            t, tri, win = cw8_closest(
+                o, d, active, ds.cw_nodes4, ds.cw_planes, ds.cw_bounds,
+                og=og,
+            )
+            zero = jnp.zeros_like(t)
+            return Hit(t, tri, zero, zero), win
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_closest
 
         t, tri, u, v = cwbvh_closest(o, d, active, ds.cw_nodes, ds.cw_tris)
@@ -160,6 +172,16 @@ def _occluded(
             ds.wb_oct_blk, og=og,
         )
     if options.accel == "cwbvh":
+        use_pallas = _pallas_flag(options)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from caitlynrenderer_tpu.ops.traverse_cw8 import cw8_anyhit
+
+            return cw8_anyhit(
+                o, d, t_max, active, ds.cw_nodes4, ds.cw_planes,
+                ds.cw_bounds, og=og,
+            )
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit
 
         return cwbvh_anyhit(o, d, t_max, active, ds.cw_nodes, ds.cw_tris)

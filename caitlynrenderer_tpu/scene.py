@@ -30,6 +30,9 @@ class DeviceScene(NamedTuple):
     node_meta: jax.Array  # (Nn, 2) i32
     cw_nodes: jax.Array  # (N8, 20) u32
     cw_tris: jax.Array  # (T, 9) f32 — packed v0,e1,e2 in cwbvh order
+    cw_nodes4: jax.Array  # (R4, 128) u32 — 4 node8s per DMA row (Pallas walk)
+    cw_planes: jax.Array  # (W, 4, 96) f32 — 32-tri Baldwin–Weber windows
+    cw_bounds: jax.Array  # (1, 6) f32 — scene bbox (sort/exit clamp)
     wb_group_bounds: jax.Array  # (G, 6) f32     — streaming wide BVH groups
     wb_packed_tris: jax.Array  # (G, Kg, 9) f32  — packed group triangle blocks
     wb_tri_index: jax.Array  # (G, Kg) i32       — global tri ids, -1 pad
@@ -107,6 +110,9 @@ def upload_scene(
         raise ValueError(f"unknown accel {accel!r} (expected brute/bvh2/sbvh/wide/cwbvh)")
     cw_nodes = np.zeros((0, 20), np.uint32)
     cw_tris = np.zeros((0, 9), np.float32)
+    cw_nodes4 = np.zeros((0, 128), np.uint32)
+    cw_planes = np.zeros((0, 4, 96), np.float32)
+    cw_bounds = np.array([[0, 0, 0, 1, 1, 1]], np.float32)
     wb = None
     if accel == "brute" or scene_np.num_triangles == 0:
         bvh = FlatBVH(
@@ -152,6 +158,9 @@ def upload_scene(
                 [p0, ordered.vertices[tv[:, 1]] - p0, ordered.vertices[tv[:, 2]] - p0],
                 axis=1,
             ).astype(np.float32)
+            from caitlynrenderer_tpu.ops.traverse_cw8 import pack_cw8
+
+            cw_nodes4, cw_planes, cw_bounds = pack_cw8(cw_nodes, cw_tris)
 
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
 
@@ -191,6 +200,9 @@ def upload_scene(
         node_meta=to_dev(bvh.node_meta),
         cw_nodes=to_dev(cw_nodes),
         cw_tris=to_dev(cw_tris),
+        cw_nodes4=to_dev(cw_nodes4),
+        cw_planes=to_dev(cw_planes),
+        cw_bounds=to_dev(cw_bounds),
         wb_group_bounds=to_dev(wb.group_bounds),
         wb_packed_tris=to_dev(wb.packed_tris),
         wb_tri_index=to_dev(wb.tri_index),
