@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--grid1m-res", type=int, default=512,
                     help="render size for config 4 (1024 is the full config; "
                     "512 keeps the run under the driver timeout)")
+    ap.add_argument("--accel4", nargs="*", default=["cwbvh", "wide"],
+                    help="accels to measure for config 4")
     args = ap.parse_args()
 
     import jax
@@ -136,9 +138,12 @@ def main():
     if 4 not in args.skip:
         mscene, _ = builtin_scenes.displaced_grid(resolution=708)
         res = args.grid1m_res
-        for accel in ("cwbvh", "wide"):
+        for accel in args.accel4:
             t0 = time.perf_counter()
-            ds = upload_scene(mscene, accel=accel)
+            # group_tris=256 at 1M tris: halves the per-octant worklist
+            # (G≈5.7k vs 11.4k), keeping the mega kernel's phase-A VMEM
+            # tables under the 16 MB scoped-vmem limit.
+            ds = upload_scene(mscene, accel=accel, wide_group_tris=256)
             build = time.perf_counter() - t0
             opt = RenderOptions(width=res, height=res, max_depth=6,
                                 accel=accel, families=scene_families(mscene))

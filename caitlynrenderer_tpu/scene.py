@@ -136,11 +136,19 @@ def upload_scene(
         if accel == "wide":
             from caitlynrenderer_tpu.accel.wide import build_wide
 
+            # The mega kernel's phase-A tables scale with the group count
+            # (a (gpad, 128) f32 slab-min table per octant worklist); past
+            # ~8k groups they blow the 16 MB scoped-VMEM budget.  Grow the
+            # group size for huge scenes so G stays bounded — at 1M tris
+            # the default 128 becomes 256.
+            gt = max(wide_group_tris, 1)
+            while scene_np.num_triangles / gt > 6000 and gt < 1024:
+                gt *= 2
             wb = build_wide(
                 np.asarray(ordered.vertices),
                 np.asarray(ordered.tri_v),
                 bvh,
-                group_tris=max(wide_group_tris, 1),
+                group_tris=gt,
             )
         if accel == "cwbvh":
             from caitlynrenderer_tpu.accel.cwbvh import build_cwbvh
