@@ -108,27 +108,28 @@ def main():
     stats = jax.device_get(count_fn(uniforms))
     rays_per_sample = int(stats["rays_closest"]) + int(stats["rays_anyhit"])
 
-    # Timed render steps (sample index varies per step like the real loop).
-    # Accumulation happens INSIDE the jitted step, exactly like the
-    # production progressive loop (render/progressive.py) — an eager
-    # device add between steps would serialize on host dispatch latency.
-    step = jax.jit(
-        lambda acc, uni: acc + render_sample(ds, camera, uni, w, h, options)
-    )
-    keys = [jax.random.fold_in(key, i) for i in range(args.warmup + args.steps)]
-    unis = [sampling.draw_uniforms(k, n, depth) for k in keys]
-    acc = jnp.zeros((n, 3), jnp.float32)
-    for i in range(args.warmup):
-        acc = step(acc, unis[i])
-    acc.block_until_ready()
+    # Timed section = the PRODUCTION progressive loop (render/progressive
+    # .py render_steps): `args.steps` samples accumulate inside ONE device
+    # launch via lax.scan, exactly what the CLI runs.  Per-launch host
+    # dispatch costs ~2 ms through the TPU tunnel — a third of a 256²
+    # frame — so sample batching is both the honest production config and
+    # the TPU-native design (the per-sample key schedule is bitwise
+    # identical to single-sample stepping).
+    from caitlynrenderer_tpu.render import progressive
+
+    state = progressive.init_state(w, h, seed=0)
+    state = progressive.render_steps(ds, camera, state, w, h, options, args.steps)
+    jax.block_until_ready(state)  # compile + warmup launch
+    launches = 2
     t0 = time.perf_counter()
-    for i in range(args.warmup, args.warmup + args.steps):
-        acc = step(acc, unis[i])
-    acc.block_until_ready()
+    for _ in range(launches):
+        state = progressive.render_steps(ds, camera, state, w, h, options, args.steps)
+    jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 
-    rays_per_sec = rays_per_sample * args.steps / elapsed
-    ms_per_frame = elapsed / args.steps * 1e3
+    frames = launches * args.steps
+    rays_per_sec = rays_per_sample * frames / elapsed
+    ms_per_frame = elapsed / frames * 1e3
 
     result = {
         "metric": "rays/sec/chip",
@@ -145,7 +146,8 @@ def main():
             "rays_per_sample": rays_per_sample,
             "bvh_build_s": round(build_s, 3),
             "device": str(jax.devices()[0]),
-            "steps_timed": args.steps,
+            "steps_timed": frames,
+            "spp_per_launch": args.steps,
         },
     }
     print(json.dumps(result))

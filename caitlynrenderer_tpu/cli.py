@@ -86,8 +86,7 @@ def cmd_render(args) -> int:
             )
             cam_k = make_camera(look + rot, look, fov_degrees=fov)
             state = progressive.reset(state)  # camera moved → restart
-            for _ in range(spp):
-                state = progressive.render_step(ds, cam_k, state, w, h, options)
+            state = progressive.render_steps(ds, cam_k, state, w, h, options, spp)
             img = progressive.resolve(state, w, h, options)
             frame_path = f"{base}_{k:03d}{ext}"
             save_png(frame_path, np.asarray(img))
@@ -127,11 +126,21 @@ def cmd_render(args) -> int:
     timer = metrics.StepTimer()
     last_ckpt = time.time()
     while int(state.frame_count) < spp:
+        # Batch samples per device launch (lax.scan in render_steps):
+        # dispatch through the TPU tunnel costs ~2 ms, a third of a 256²
+        # frame.  The tail runs single steps to avoid a second compile.
+        todo = spp - int(state.frame_count)
+        chunk = args.spp_per_launch if todo >= args.spp_per_launch else 1
         with timer.span("step"):
-            state = progressive.render_step(ds, camera, state, w, h, options)
+            if chunk > 1:
+                state = progressive.render_steps(
+                    ds, camera, state, w, h, options, chunk
+                )
+            else:
+                state = progressive.render_step(ds, camera, state, w, h, options)
             state.accum.block_until_ready()
-        timer.count("samples", 1)
-        timer.count("rays", rays_per_sample)
+        timer.count("samples", chunk)
+        timer.count("rays", rays_per_sample * chunk)
         if args.resume and time.time() - last_ckpt > args.checkpoint_every:
             checkpoint.save_render_state(args.resume, state)
             last_ckpt = time.time()
@@ -226,6 +235,11 @@ def main(argv=None) -> int:
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--resume", default=None, help="checkpoint path (save/load)")
     r.add_argument("--checkpoint-every", type=float, default=60.0)
+    r.add_argument(
+        "--spp-per-launch", type=int, default=8,
+        help="samples accumulated per device launch (lax.scan batching; "
+        "amortizes host→TPU dispatch latency)",
+    )
     r.add_argument(
         "--aov",
         default=None,

@@ -124,3 +124,23 @@ def test_cli_render_smoke(tmp_path):
     img = load_png(out)
     assert img.shape == (8, 8, 3)
     assert img.max() > 0
+
+
+def test_render_steps_bitwise_equals_single_steps(cornell):
+    """The scan-batched progressive launch (render_steps) must be bitwise
+    identical to the same number of single render_step calls — same
+    frame_count-derived key schedule, just one dispatch."""
+    scene, camera = cornell
+    ds = upload_scene(scene, accel="bvh2")
+    w = h = 16
+    options = RenderOptions(width=w, height=h, max_depth=2)
+
+    s1 = progressive.init_state(w, h, seed=3)
+    for _ in range(3):
+        s1 = progressive.render_step(ds, camera, s1, w, h, options)
+
+    s2 = progressive.init_state(w, h, seed=3)
+    s2 = progressive.render_steps(ds, camera, s2, w, h, options, 3)
+
+    assert int(s2.frame_count) == 3
+    np.testing.assert_array_equal(np.asarray(s1.accum), np.asarray(s2.accum))
