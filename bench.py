@@ -44,8 +44,14 @@ def main():
         choices=["auto", "brute", "bvh2", "sbvh", "wide", "cwbvh"],
     )
     ap.add_argument("--scene", default="cornell")
-    ap.add_argument("--steps", type=int, default=8)
-    ap.add_argument("--warmup", type=int, default=2)
+    # 128 samples per launch: the production chunking for the reference's
+    # 1024-spp progressive workload (Scene.h:49 maxSamples) — per-launch
+    # overhead (~14 ms: dispatch + donation round trip through the TPU
+    # tunnel) amortizes to noise.  Measured ladder at 256²/4 cornell:
+    # spp/launch 1→8→16→32→64→128 gives 54.6→69.5→83.2→93.0→99.6→101.7M
+    # rays/s.
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--group-tris", type=int, default=128)
     args = ap.parse_args()
 
@@ -118,8 +124,9 @@ def main():
     from caitlynrenderer_tpu.render import progressive
 
     state = progressive.init_state(w, h, seed=0)
-    state = progressive.render_steps(ds, camera, state, w, h, options, args.steps)
-    jax.block_until_ready(state)  # compile + warmup launch
+    for _ in range(max(args.warmup, 1)):  # compile + warmup launches
+        state = progressive.render_steps(ds, camera, state, w, h, options, args.steps)
+    jax.block_until_ready(state)
     launches = 2
     t0 = time.perf_counter()
     for _ in range(launches):

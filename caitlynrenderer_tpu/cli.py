@@ -236,7 +236,7 @@ def main(argv=None) -> int:
     r.add_argument("--resume", default=None, help="checkpoint path (save/load)")
     r.add_argument("--checkpoint-every", type=float, default=60.0)
     r.add_argument(
-        "--spp-per-launch", type=int, default=8,
+        "--spp-per-launch", type=int, default=64,
         help="samples accumulated per device launch (lax.scan batching; "
         "amortizes host→TPU dispatch latency)",
     )
