@@ -52,7 +52,11 @@ def main():
     # rays/s.
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=1)
-    ap.add_argument("--group-tris", type=int, default=128)
+    ap.add_argument(
+        "--group-tris", type=int, default=None,
+        help="wide-BVH group size; default auto-sizes per scene "
+        "(explicit values are honored exactly)",
+    )
     args = ap.parse_args()
 
     import jax

@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--group-tris", type=int, default=128)
+    ap.add_argument("--group-tris", type=int, default=None)
     args = ap.parse_args()
 
     import jax

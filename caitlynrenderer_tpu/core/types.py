@@ -175,10 +175,10 @@ class RenderOptions(NamedTuple):
     traversal: str = "auto"  # {"auto", "xla", "pallas"} — Pallas MT kernel on TPU
     max_leaf: int = 4  # BVH leaf width (must match the uploaded build)
     # Traversal stack capacity for the binary-BVH paths.  Size it from the
-    # actual build with `accel.bvh.tree_depth` (the CLI/bench do this via
-    # `scene.required_stack`) — a tree deeper than the stack would corrupt
-    # results; `traverse_xla` raises at trace time if the build reports a
-    # deeper tree than this allows.
+    # actual build with `scene.required_stack(ds)` (the CLI/bench do) — the
+    # integrator checks DeviceScene.tree_depth (static pytree metadata)
+    # against this at trace time and raises on a stack the build could
+    # overflow, so library callers get a loud error instead of wrong hits.
     max_stack: int = 32
     ray_chunk: int = 8192  # traversal chunk size (coherence-sorted lax.map)
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)

@@ -47,6 +47,13 @@ def apply_params(ds: DeviceScene, camera: Camera, params: Params):
     if "vertices" in params:
         sc = sc._replace(vertices=params["vertices"])
     ds = ds._replace(scene=sc)
+    if ds.shade_tab is not None:
+        # The fused shading table caches vertices/normals/material rows;
+        # rebuild it from the overlaid scene so gradients flow through it
+        # to the optimizable leaves.
+        from caitlynrenderer_tpu.render.integrator import _build_shade_table
+
+        ds = ds._replace(shade_tab=_build_shade_table(sc))
     if "cam_position" in params:
         camera = camera._replace(position=params["cam_position"])
     if "cam_fov" in params:

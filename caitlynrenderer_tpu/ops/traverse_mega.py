@@ -69,7 +69,7 @@ PACKETS = int(os.environ.get("MEGA_PACKETS", "4"))
 PSUB = TILE // PACKETS  # rays per packet
 KBAND = 8  # contraction rows per packet band (= plane block rows)
 CHUNK = 262144  # rays per kernel launch
-DEPTH = 4  # DMA ring depth (steps prefetched ahead)
+DEPTH = int(os.environ.get("MEGA_DEPTH", "4"))  # DMA ring depth (prefetch)
 _STATS = os.environ.get("MEGA_STATS") == "1"  # extra (n_sub, 8, 128) i32
 # output: row 0 = sweep steps executed by the tile (diagnostics)
 _PHASE_A_ONLY = os.environ.get("MEGA_PHASE_A_ONLY") == "1"  # perf probe
@@ -215,18 +215,22 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
             stats_ref, refs = refs[0], refs[1:]
         if anyhit:
             (hit_ref, od_ref, bd_ref, bm_ref, ring, sem,
-             bt_ref, aux_ref, tmax_ref, cur_ref, sl_ref) = refs
+             bt_ref, aux_ref, tmax_ref, cur_ref, sl_ref, sl_t_ref) = refs
             gw_ref = None
         else:
             (t_ref, tri_ref, gw_out_ref, od_ref, bd_ref, bm_ref,
-             ring, sem, bt_ref, aux_ref, gw_ref, tmax_ref, cur_ref,
-             sl_ref) = refs
+             ring, sem, bt_ref, aux_ref, gw_ref, tmax_ref,
+             cur_ref, sl_ref, sl_t_ref) = refs
         # SMEM layout:
-        #   tmax_ref (PACKETS,) f32 — per-packet max live bound
-        #   cur_ref  (PACKETS + 2,) i32 — per-packet cursor; [8] = step;
-        #            [9] = stats step counter
-        #   sl_ref   (DEPTH * PACKETS, 3) i32 — per (slot, packet):
-        #            [valid, tri_start, group_id]
+        #   tmax_ref    (PACKETS,) f32 — per-packet max live bound
+        #   cur_ref     (PACKETS + 2,) i32 — per-packet cursor; [P+1] =
+        #               stats sweep counter
+        #   sl_ref      (DEPTH * PACKETS, 3) i32 — per (slot, packet):
+        #               [valid, tri_start, group_id]
+        #   sl_t_ref    (DEPTH * PACKETS,) f32 — packet-min slab entry-t of
+        #               the slot's group AT ISSUE: sweeps revalidate it
+        #               against the (monotonically tightening) tmax so
+        #               stale prefetched groups are skipped, not swept
         oct = oct_ref[pl.program_id(0)]
         rc = rays_cm_ref[0]  # (8, 128)
         tlim = rc[6:7, :]  # (1, 128)
@@ -322,6 +326,12 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
 
             # Per-packet initial bound (max live t_lim): drives the
             # coarse block cull below.  Windowed lane-MAX, same trick.
+            # (A LAZY fine level — building each 128-entry block's table
+            # only when a cursor reaches it — was tried and lost: the
+            # per-visit scalar VMEM load of the coarse bound inside the
+            # scan while-loop cost more than the eager tables it saved,
+            # frame 152 → 182 ms.  Scalar loads from VMEM stall; keep the
+            # hot loops vector-only.)
             pmax = tlim
             sh = 1
             while sh < PSUB:
@@ -368,37 +378,45 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
 
             def scan_next(p, k0):
                 """Next worklist entry ≥ k0 that SOME ray of packet p still
-                needs (its slab entry-t beats that ray's own current bound);
-                gpad if none.  One vector op scans a 128-entry block of the
-                packet-min column."""
+                needs (its slab entry-t beats that ray's own current bound)
+                and a lower bound of its slab entry-t; (gpad, INF) if none.
+                One vector op scans a 128-entry block of the packet-min
+                column.  The value reduce runs IN PARALLEL with the index
+                reduce (min over ALL still-needed entries — a lower bound
+                of the chosen entry's t, so revalidation skips
+                conservatively; an exact dependent extract measured
+                +0.9 µs/step, and a scalar VMEM load stalls worse)."""
 
                 def cond(st):
-                    k2, m = st
+                    k2, m, _ = st
                     return (m >= gpad) & (k2 < gpad)
 
                 def body(st):
-                    k2, _ = st
+                    k2, _, _ = st
                     kb = k2 // 128
                     col = bm_ref[pl.ds(kb * 128, 128), PSUB * p : PSUB * p + 1]
                     si = sub_iota + kb * 128
                     ok = (col < tmax_ref[p]) & (si >= k2)
                     m2 = jnp.min(jnp.where(ok, si, gpad))
-                    return ((kb + 1) * 128, m2)
+                    v2 = jnp.min(jnp.where(ok, col, INF))
+                    return ((kb + 1) * 128, m2, v2)
 
-                _, m = lax.while_loop(
-                    cond, body, (jnp.int32(k0), jnp.int32(gpad))
+                _, m, v = lax.while_loop(
+                    cond, body,
+                    (jnp.int32(k0), jnp.int32(gpad), jnp.float32(INF)),
                 )
-                return m
+                return m, v
 
             def issue(slot):
                 """Advance every packet's cursor once; DMA its next group's
-                plane block into the slot's sublane band."""
+                plane block into the slot's sublane band.  Records the
+                entry's packet-min slab t so the sweep can revalidate."""
                 for p in range(PACKETS):
-                    k = scan_next(p, cur_ref[p])
+                    k, kv = scan_next(p, cur_ref[p])
                     good = k < gpad
 
                     @pl.when(good)
-                    def _(p=p, k=k, slot=slot):
+                    def _(p=p, k=k, kv=kv, slot=slot):
                         g = gids_ref[oct, k]
                         pltpu.make_async_copy(
                             tris_hbm.at[g],
@@ -408,10 +426,12 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
                         sl_ref[slot * PACKETS + p, 0] = 1
                         sl_ref[slot * PACKETS + p, 1] = starts_ref[oct, k]
                         sl_ref[slot * PACKETS + p, 2] = g
+                        sl_t_ref[slot * PACKETS + p] = kv
 
                     @pl.when(jnp.logical_not(good))
                     def _(p=p, slot=slot):
                         sl_ref[slot * PACKETS + p, 0] = 0
+                        sl_t_ref[slot * PACKETS + p] = INF
 
                     cur_ref[p] = jnp.where(good, k + 1, gpad)
 
@@ -422,9 +442,9 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
                 bt_ref[0:1, :] = jnp.minimum(bt_ref[0:1, :], bm_ref[0:1, :])
                 for s in range(DEPTH * PACKETS):
                     sl_ref[s, 0] = 0
-            _range = () if _PHASE_A_ONLY else range(DEPTH)
-            for s in _range:
-                issue(s)
+            else:
+                for s in range(DEPTH):
+                    issue(s)
 
             def smem_vec(slot, col):
                 """(1, 128) vector from the slot's 8 per-packet SMEM scalars
@@ -448,7 +468,17 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
                 valid = smem_vec(slot, 0)
                 startv = smem_vec(slot, 1)
                 gidv = smem_vec(slot, 2)
+                # Revalidate: a slot was issued against the tmax of DEPTH
+                # steps ago; the bounds have only tightened since.  A
+                # packet whose prefetched group can no longer beat its
+                # current tmax contributes nothing — when EVERY packet's
+                # group is stale, skip the whole sweep (kills the ~DEPTH
+                # stale end-of-traversal sweeps each packet used to pay).
+                fresh = 0
                 for p in range(PACKETS):
+                    stale_p = sl_t_ref[slot * PACKETS + p] >= tmax_ref[p]
+                    fresh = fresh + jnp.where(stale_p, 0, sl_ref[slot * PACKETS + p, 0])
+
                     @pl.when(sl_ref[slot * PACKETS + p, 0] > 0)
                     def _(p=p, slot=slot):
                         pltpu.make_async_copy(
@@ -461,6 +491,15 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
                     cur_ref[PACKETS + 1] = cur_ref[PACKETS + 1] + 1
                     issue(slot)
                     return s + 1
+
+                @pl.when(fresh > 0)
+                def _sweep(slot=slot, valid=valid, startv=startv, gidv=gidv):
+                    _do_sweep(slot, valid, startv, gidv)
+
+                issue(slot)  # refill the slot DEPTH steps ahead
+                return s + 1
+
+            def _do_sweep(slot, valid, startv, gidv):
                 r = lax.dot_general(
                     ring[slot],  # (64, 3·Kp)
                     od_ref[:, :],  # (64, 256)
@@ -512,8 +551,6 @@ def _make_kernel(gpad: int, kp: int, anyhit: bool):
                         new_bt[0:1, PSUB * p : PSUB * (p + 1)]
                     )
                 cur_ref[PACKETS + 1] = cur_ref[PACKETS + 1] + 1
-                issue(slot)  # refill the slot DEPTH steps ahead
-                return s + 1
 
             s_end = lax.while_loop(step_cond, step_body, 0)
 
@@ -638,6 +675,7 @@ def _launch(o, d, t_lim, oct_tile, oct_bounds, oct_gid, oct_start, oct_blk,
             pltpu.SMEM((PACKETS,), jnp.float32),  # tmax
             pltpu.SMEM((PACKETS + 2,), jnp.int32),  # cursors + counters
             pltpu.SMEM((DEPTH * PACKETS, 3), jnp.int32),  # slot meta
+            pltpu.SMEM((DEPTH * PACKETS,), jnp.float32),  # slot issue slab-t
         ],
     )
     outs = pl.pallas_call(
@@ -658,6 +696,15 @@ def _launch(o, d, t_lim, oct_tile, oct_bounds, oct_gid, oct_start, oct_blk,
 # ---------------------------------------------------------------------------
 
 
+def _octants(d):
+    """Direction octant per ray (bit 2/1/0 set = dx/dy/dz negative)."""
+    return (
+        ((d[:, 0] < 0).astype(jnp.uint32) << 2)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | (d[:, 2] < 0).astype(jnp.uint32)
+    )
+
+
 def _sort_order(o, d, t_lim, og, bounds):
     """Coherence sort key per ray: [dead | direction octant | origin
     group | coarse origin morton].  Octant major keeps every tile's rays
@@ -673,11 +720,7 @@ def _sort_order(o, d, t_lim, og, bounds):
     (order, inverse, octants)."""
     smin = bounds[:, :3].min(axis=0)
     smax = bounds[:, 3:].max(axis=0)
-    oct_ = (
-        ((d[:, 0] < 0).astype(jnp.uint32) << 2)
-        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-        | (d[:, 2] < 0).astype(jnp.uint32)
-    )
+    oct_ = _octants(d)
     q = jnp.clip(
         (o - smin[None, :]) / jnp.maximum(smax - smin, 1e-6)[None, :] * 7.0,
         0.0,
@@ -771,7 +814,13 @@ def _xla_reference(o, d, t_lim, starts, planes, anyhit):
 
 
 def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, oct_blk,
-           planes, anyhit=False):
+           planes, anyhit=False, preorder=None, return_order=False):
+    """preorder=(order, inv): reuse a caller-supplied coherence sort
+    instead of paying a fresh argsort (~4.4 ms at 65k rays on TPU).  The
+    shadow any-hit reuses its bounce's closest-hit order — shadow rays
+    from the same surface patch stay tiled together, and correctness never
+    depends on the order (every octant worklist covers all groups).
+    return_order=True appends (order, inv) to the result tuple."""
     n = o.shape[0]
     t_lim = _scene_exit_bound(o, d, t_lim, bounds)
     if not (_use_kernel() or _STATS):
@@ -780,9 +829,18 @@ def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, oct_blk,
         starts = jnp.zeros(g, jnp.int32).at[oct_gid[0, :g]].set(
             oct_start[0, :g]
         )
-        return _xla_reference(o, d, t_lim, starts, planes, anyhit)
-    order, inv, oct_ = _sort_order(o, d, t_lim, og, bounds)
-    o, d, t_lim, oct_ = o[order], d[order], t_lim[order], oct_[order]
+        out = _xla_reference(o, d, t_lim, starts, planes, anyhit)
+        if return_order:
+            iota = jnp.arange(n, dtype=jnp.int32)
+            out = out + ((iota, iota),)
+        return out
+    if preorder is None:
+        order, inv, oct_ = _sort_order(o, d, t_lim, og, bounds)
+        o, d, t_lim, oct_ = o[order], d[order], t_lim[order], oct_[order]
+    else:
+        order, inv = preorder
+        o, d, t_lim = o[order], d[order], t_lim[order]
+        oct_ = _octants(d)  # octants of the reordered rays (cheap, no sort)
     c = min(CHUNK, max(TILE, -(-n // TILE) * TILE))
     pad = (-n) % c
     if pad:
@@ -810,11 +868,14 @@ def _query(o, d, t_lim, og, bounds, oct_bounds, oct_gid, oct_start, oct_blk,
     if _STATS:  # diagnostics stay per-subtile (post-sort order)
         stats, out = out[0], out[1:]
         return (stats,) + tuple(x[:n][inv] for x in out)
-    return tuple(x[:n][inv] for x in out)
+    out = tuple(x[:n][inv] for x in out)
+    if return_order:
+        out = out + ((order, inv),)
+    return out
 
 
 def mega_closest(o, d, active, group_bounds, mega_blocks, oct_bounds,
-                 oct_gid, oct_start, oct_blk, og=None):
+                 oct_gid, oct_start, oct_blk, og=None, return_order=False):
     """Closest-hit via the packet megakernel.  Returns (t, tri, group);
     tri/group = -1 on miss.  mega_blocks from `pack_mega`; oct_* from
     `pack_octants`; og = per-ray origin group (the previous traversal's
@@ -822,28 +883,37 @@ def mega_closest(o, d, active, group_bounds, mega_blocks, oct_bounds,
     results are exact regardless."""
     n = o.shape[0]
     if mega_blocks.shape[0] == 0:
-        return (
+        out = (
             jnp.full(n, INF, jnp.float32),
             jnp.full(n, -1, jnp.int32),
             jnp.full(n, -1, jnp.int32),
         )
+        if return_order:
+            iota = jnp.arange(n, dtype=jnp.int32)
+            out = out + ((iota, iota),)
+        return out
     if og is None:
         og = jnp.zeros(n, jnp.int32)
     t_lim = jnp.where(active, jnp.float32(INF), jnp.float32(-INF))
-    t, tri, grp = _query(
+    out = _query(
         o, d, t_lim, og, group_bounds, oct_bounds, oct_gid, oct_start,
-        oct_blk, mega_blocks,
+        oct_blk, mega_blocks, return_order=return_order,
     )
+    t, tri, grp = out[:3]
     t = jnp.where(tri >= 0, t, INF)
+    if return_order:
+        return t, tri, grp, out[3]
     return t, tri, grp
 
 
 def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks, oct_bounds,
-                oct_gid, oct_start, oct_blk, og=None):
+                oct_gid, oct_start, oct_blk, og=None, preorder=None):
     """Any-hit via the packet megakernel, with per-packet early exit:
     a lane that finds any hit leaves its packet's bound, so each packet
     stops as soon as every live lane is occluded (the tile-consensus
-    analog of `path_trace.fs:703-708`)."""
+    analog of `path_trace.fs:703-708`).  preorder: reuse the bounce's
+    closest-hit coherence sort instead of paying a second argsort (see
+    _query)."""
     n = o.shape[0]
     if mega_blocks.shape[0] == 0:
         return jnp.zeros(n, bool)
@@ -852,6 +922,6 @@ def mega_anyhit(o, d, t_max, active, group_bounds, mega_blocks, oct_bounds,
     t_lim = jnp.where(active, t_max, -INF)
     (hit,) = _query(
         o, d, t_lim, og, group_bounds, oct_bounds, oct_gid, oct_start,
-        oct_blk, mega_blocks, anyhit=True,
+        oct_blk, mega_blocks, anyhit=True, preorder=preorder,
     )
     return hit > 0

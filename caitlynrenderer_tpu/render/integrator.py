@@ -61,6 +61,25 @@ def _pallas_flag(options: RenderOptions):
     return None  # auto: backend-dependent
 
 
+def _check_stack(ds, options: RenderOptions):
+    """Trace-time stack guard for the binary-BVH traversals.
+
+    ds.tree_depth is static pytree metadata (a Python int at trace time),
+    so a stack the build can overflow raises HERE — loudly, at the first
+    jit trace — instead of silently clamping and returning wrong hits the
+    way the reference's fixed 12/16-deep stacks do
+    (`path_trace.fs:513,674`).  Size options with
+    `options._replace(max_stack=scene.required_stack(ds))`."""
+    depth = getattr(ds, "tree_depth", 0)
+    if depth + 1 > options.max_stack:
+        raise ValueError(
+            f"BVH tree depth {depth} needs a traversal stack of "
+            f"{depth + 1} slots but options.max_stack={options.max_stack}; "
+            "set options = options._replace(max_stack="
+            "caitlynrenderer_tpu.scene.required_stack(ds))"
+        )
+
+
 class Hit(NamedTuple):
     t: jax.Array
     tri: jax.Array
@@ -74,11 +93,14 @@ def _closest_hit(
     """Closest hit with detached traversal + differentiable refinement:
     the hit *id* comes from non-differentiable traversal, then (t, u, v)
     are recomputed with `refine_hit` so the shading path carries gradients
-    w.r.t. geometry and rays.  Returns (Hit, group) — group is the wide-
-    BVH group of the winning triangle (the next bounce's sort hint), or
-    None for accelerators that don't track it."""
+    w.r.t. geometry and rays.  Returns (Hit, group, preorder) — group is
+    the wide-BVH group of the winning triangle (the next bounce's sort
+    hint), preorder the traversal's coherence sort (reused by the bounce's
+    shadow any-hit); None for accelerators that don't track them."""
     ds_ng, o_ng, d_ng = jax.lax.stop_gradient((ds, o, d))
-    raw, grp = _closest_hit_raw(ds_ng, o_ng, d_ng, active, options, og)
+    raw, grp, preorder = _closest_hit_raw(
+        ds_ng, o_ng, d_ng, active, options, og
+    )
     raw = jax.lax.stop_gradient(raw)
     sc = ds.scene
     t, u, v = isect.refine_hit(o, d, raw.tri, sc.vertices, sc.tri_v)
@@ -89,13 +111,15 @@ def _closest_hit(
         u=jnp.where(keep, u, raw.u),
         v=jnp.where(keep, v, raw.v),
     )
-    return hit, grp
+    return hit, grp, preorder
 
 
 def _closest_hit_raw(
     ds: DeviceScene, o, d, active, options: RenderOptions, og=None
 ):
-    """Detached closest-hit dispatch.  Returns (Hit, group-or-None)."""
+    """Detached closest-hit dispatch.  Returns (Hit, group-or-None,
+    preorder-or-None) — preorder is the wide megakernel's coherence sort
+    (order, inverse), reused by the same bounce's shadow any-hit."""
     sc = ds.scene
     if options.accel == "brute":
         use_pallas = _pallas_flag(options)
@@ -106,20 +130,20 @@ def _closest_hit_raw(
 
             tris9 = isect.pack_tris(sc.vertices, sc.tri_v)
             t, tri, u, v = brute_closest_pallas(o, d, active, tris9)
-            return Hit(t, tri, u, v), None
+            return Hit(t, tri, u, v), None, None
         t, tri, u, v = isect.intersect_brute(o, d, sc.vertices, sc.tri_v)
         tri = jnp.where(active, tri, -1)
-        return Hit(t, tri, u, v), None
+        return Hit(t, tri, u, v), None, None
     if options.accel == "wide":
         from caitlynrenderer_tpu.ops.traverse_mega import mega_closest
 
-        t, tri, grp = mega_closest(
+        t, tri, grp, preorder = mega_closest(
             o, d, active, ds.wb_group_bounds, ds.wb_mega,
             ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start,
-            ds.wb_oct_blk, og=og,
+            ds.wb_oct_blk, og=og, return_order=True,
         )
         zero = jnp.zeros_like(t)
-        return Hit(t, tri, zero, zero), grp
+        return Hit(t, tri, zero, zero), grp, preorder
     if options.accel == "cwbvh":
         use_pallas = _pallas_flag(options)
         if use_pallas is None:
@@ -132,21 +156,23 @@ def _closest_hit_raw(
                 og=og,
             )
             zero = jnp.zeros_like(t)
-            return Hit(t, tri, zero, zero), win
+            return Hit(t, tri, zero, zero), win, None
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_closest
 
         t, tri, u, v = cwbvh_closest(o, d, active, ds.cw_nodes, ds.cw_tris)
         tri = jnp.where(active, tri, -1)
-        return Hit(t, tri, u, v), None
+        return Hit(t, tri, u, v), None, None
+    _check_stack(ds, options)
     t, tri, u, v = traverse_closest(
         o, d, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
         max_leaf=options.max_leaf, max_stack=options.max_stack,
     )
-    return Hit(t, tri, u, v), None
+    return Hit(t, tri, u, v), None, None
 
 
 def _occluded(
-    ds: DeviceScene, o, d, t_max, active, options: RenderOptions, og=None
+    ds: DeviceScene, o, d, t_max, active, options: RenderOptions, og=None,
+    preorder=None,
 ):
     """Any-hit visibility — boolean, fully detached (no visibility
     gradients in v1; documented estimator limitation, SURVEY.md §7)."""
@@ -166,6 +192,12 @@ def _occluded(
     if options.accel == "wide":
         from caitlynrenderer_tpu.ops.traverse_mega import mega_anyhit
 
+        # NOTE: reusing the bounce's closest-hit coherence sort here
+        # (mega_anyhit preorder=...) was measured SLOWER than paying a
+        # fresh argsort: shadow rays inherit mixed direction octants per
+        # tile, which defeats the walk's front-to-back termination
+        # (frame 151 -> 171 ms on grid100k 256^2x4).  Shadow rays sort
+        # on their own key.
         return mega_anyhit(
             o, d, t_max, active, ds.wb_group_bounds, ds.wb_mega,
             ds.wb_oct_bounds, ds.wb_oct_gid, ds.wb_oct_start,
@@ -185,6 +217,7 @@ def _occluded(
         from caitlynrenderer_tpu.ops.traverse_cwbvh import cwbvh_anyhit
 
         return cwbvh_anyhit(o, d, t_max, active, ds.cw_nodes, ds.cw_tris)
+    _check_stack(ds, options)
     return traverse_anyhit(
         o, d, t_max, active, ds.node_bounds, ds.node_meta, sc.vertices, sc.tri_v,
         max_leaf=options.max_leaf, max_stack=options.max_stack,
@@ -319,7 +352,7 @@ def trace_aov(ds: DeviceScene, o, d, options: RenderOptions):
     closest-hit query, no sampling: a single-sample AOV frame is exact."""
     n = o.shape[0]
     active = jnp.ones(n, bool)
-    hit, _ = _closest_hit(ds, o, d, active, options)
+    hit, _, _ = _closest_hit(ds, o, d, active, options)
     got = hit.tri >= 0
     tri_safe = jnp.maximum(hit.tri, 0)
     if options.aov == "depth":
@@ -376,11 +409,18 @@ def trace_paths(
     is_specular = jnp.ones(n, bool)
     alive = jnp.ones(n, bool)
 
-    # Small scenes: fetch ALL shading data per bounce with one fused
-    # one-hot matmul over the combined table (loop-invariant, built once).
-    fused = 0 < sc.tri_v.shape[0] <= cm.ONEHOT_MAX_ROWS
+    # Fetch ALL shading data per bounce from one fused (T, 50) table:
+    # one-hot MXU matmul for small tables, a single row gather for large
+    # ones (both via cm.gather_rows) — never the dependent gather chain,
+    # which XLA lowers to ~3.4 ms of latency-bound loads per bounce.
+    # The table is precomputed at upload (ds.shade_tab); the in-trace
+    # rebuild keeps gradients w.r.t. vertices/materials for callers that
+    # bypass apply_params.
+    fused = sc.tri_v.shape[0] > 0
     if fused:
-        shade_tab = _build_shade_table(sc)
+        shade_tab = (
+            ds.shade_tab if ds.shade_tab is not None else _build_shade_table(sc)
+        )
     light_tab = _build_light_table(sc.lights) if num_lights > 0 else None
 
     # Origin-group sort hint for the wide megakernel: the wide-BVH group
@@ -398,7 +438,7 @@ def trace_paths(
 
         n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
         if fused:
-            raw, grp = _closest_hit_raw(
+            raw, grp, preorder = _closest_hit_raw(
                 *jax.lax.stop_gradient((ds, o, d)), alive, options, og
             )
             raw = jax.lax.stop_gradient(raw)
@@ -416,7 +456,7 @@ def trace_paths(
                 v=jnp.where(keep, v_r, raw.v),
             )
         else:
-            hit, grp = _closest_hit(ds, o, d, alive, options, og)
+            hit, grp, preorder = _closest_hit(ds, o, d, alive, options, og)
             tri_safe = jnp.maximum(hit.tri, 0)
         got = alive & (hit.tri >= 0)
         if options.use_env_map and sc.env_map is not None:

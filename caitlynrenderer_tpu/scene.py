@@ -18,33 +18,89 @@ from caitlynrenderer_tpu.accel.bvh import FlatBVH, build_bvh, reorder_scene
 from caitlynrenderer_tpu.core.types import SceneArrays
 
 
-class DeviceScene(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class DeviceScene:
     """Scene arrays (triangle order = BVH leaf order) + flat BVH, on device.
 
     cw_nodes is the packed CWBVH node8 array ((N8, 20) uint32) when the
     8-wide accelerator is built, else a (0, 20) placeholder.
+
+    Array fields (pytree leaves):
+      scene:           SceneArrays (fields are jnp arrays)
+      node_bounds:     (Nn, 6) f32
+      node_meta:       (Nn, 2) i32
+      cw_nodes:        (N8, 20) u32
+      cw_tris:         (T, 9) f32 — packed v0,e1,e2 in cwbvh order
+      cw_nodes4:       (R4, 128) u32 — 4 node8s per DMA row (Pallas walk)
+      cw_planes:       (W, 4, 96) f32 — 32-tri Baldwin–Weber windows
+      cw_bounds:       (1, 6) f32 — scene bbox (sort/exit clamp)
+      wb_group_bounds: (G, 6) f32     — streaming wide BVH groups
+      wb_packed_tris:  (G, Kg, 9) f32 — packed group triangle blocks
+      wb_tri_index:    (G, Kg) i32    — global tri ids, -1 pad
+      wb_mega:         (G, 8, 3·Kp) f32 — Baldwin–Weber planes (traverse_mega)
+      wb_oct_bounds:   (8, gpad, 16) f32 — per-octant worklist bounds
+      wb_oct_gid:      (8, gpad) i32 — per-octant group order
+      wb_oct_start:    (8, gpad) i32 — per-octant first tri id
+      wb_oct_blk:      (8, nblk, 16) f32 — per-octant 128-entry block bounds
+      shade_tab:       (T, 50) f32 or None — fused shading table
+                       (render/integrator._build_shade_table layout),
+                       precomputed at upload so each bounce fetches ALL
+                       shading data with ONE row gather instead of a
+                       dependent gather chain (measured 3.4 ms/bounce →
+                       0.04 ms at 100k tris).  apply_params rebuilds it
+                       differentiably during optimization.
+
+    Static metadata (pytree aux — a plain Python int visible at trace
+    time, NOT traced):
+      tree_depth: depth of the binary flat BVH from the build.  The
+        integrator asserts tree_depth < options.max_stack when tracing the
+        stack-based traversals, so a too-small stack raises loudly instead
+        of silently clamping (the reference's fixed 12/16-deep stacks lose
+        hits on deep trees with no signal, `path_trace.fs:513,674`).
+
+    NOTE: the leaf width used at build time is a *static* render option
+    (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
+    static.
     """
 
-    scene: SceneArrays  # fields are jnp arrays
-    node_bounds: jax.Array  # (Nn, 6) f32
-    node_meta: jax.Array  # (Nn, 2) i32
-    cw_nodes: jax.Array  # (N8, 20) u32
-    cw_tris: jax.Array  # (T, 9) f32 — packed v0,e1,e2 in cwbvh order
-    cw_nodes4: jax.Array  # (R4, 128) u32 — 4 node8s per DMA row (Pallas walk)
-    cw_planes: jax.Array  # (W, 4, 96) f32 — 32-tri Baldwin–Weber windows
-    cw_bounds: jax.Array  # (1, 6) f32 — scene bbox (sort/exit clamp)
-    wb_group_bounds: jax.Array  # (G, 6) f32     — streaming wide BVH groups
-    wb_packed_tris: jax.Array  # (G, Kg, 9) f32  — packed group triangle blocks
-    wb_tri_index: jax.Array  # (G, Kg) i32       — global tri ids, -1 pad
-    wb_mega: jax.Array  # (G, 8, 3·Kp) f32 — Baldwin–Weber planes (traverse_mega)
-    wb_oct_bounds: jax.Array  # (8, 8, gpad) f32 — per-octant worklist bounds
-    wb_oct_gid: jax.Array  # (8, gpad) i32 — per-octant group order
-    wb_oct_start: jax.Array  # (8, gpad) i32 — per-octant first tri id
-    wb_oct_blk: jax.Array  # (8, nblk, 16) f32 — per-octant 128-entry block bounds
-    # NOTE: the leaf width used at build time is a *static* render option
-    # (RenderOptions.max_leaf) so that jit-traced traversal shapes stay
-    # static; it is not stored here because NamedTuple fields are pytree
-    # leaves and would be traced.
+    _fields = (
+        "scene", "node_bounds", "node_meta", "cw_nodes", "cw_tris",
+        "cw_nodes4", "cw_planes", "cw_bounds", "wb_group_bounds",
+        "wb_packed_tris", "wb_tri_index", "wb_mega", "wb_oct_bounds",
+        "wb_oct_gid", "wb_oct_start", "wb_oct_blk", "shade_tab",
+    )
+    __slots__ = _fields + ("tree_depth",)
+
+    def __init__(self, *, tree_depth: int = 0, **kw):
+        for f in self._fields:
+            object.__setattr__(self, f, kw.pop(f))
+        if kw:
+            raise TypeError(f"unknown DeviceScene fields: {sorted(kw)}")
+        object.__setattr__(self, "tree_depth", int(tree_depth))
+
+    def _replace(self, **kw):
+        """NamedTuple-style functional update (fields and/or tree_depth)."""
+        cur = {f: getattr(self, f) for f in self._fields}
+        cur["tree_depth"] = kw.pop("tree_depth", self.tree_depth)
+        cur.update(kw)
+        return DeviceScene(**cur)
+
+    def tree_flatten(self):
+        return (
+            tuple(getattr(self, f) for f in self._fields),
+            self.tree_depth,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(tree_depth=aux, **dict(zip(cls._fields, children)))
+
+    def __repr__(self):
+        return (
+            f"DeviceScene(tree_depth={self.tree_depth}, "
+            + ", ".join(f"{f}=..." for f in self._fields)
+            + ")"
+        )
 
 
 def scene_families(scene_np: SceneArrays) -> tuple:
@@ -88,10 +144,11 @@ def required_stack(ds_or_meta) -> int:
     Here the stack is a static jit parameter, so the CLI/bench size it
     from the build: ``options._replace(max_stack=required_stack(ds))``.
     Accepts a DeviceScene or a raw (Nn, 2) node_meta array."""
+    if hasattr(ds_or_meta, "tree_depth"):
+        return max(32, ds_or_meta.tree_depth + 1)
     from caitlynrenderer_tpu.accel.bvh import tree_depth
 
-    meta = getattr(ds_or_meta, "node_meta", ds_or_meta)
-    return max(32, tree_depth(np.asarray(meta)) + 1)
+    return max(32, tree_depth(np.asarray(ds_or_meta)) + 1)
 
 
 def upload_scene(
@@ -100,7 +157,7 @@ def upload_scene(
     max_leaf: int = 4,
     bvh: Optional[FlatBVH] = None,
     device=None,
-    wide_group_tris: int = 128,
+    wide_group_tris: Optional[int] = None,
 ) -> DeviceScene:
     """Build the acceleration structure (host pass) and move everything to
     device HBM.  `accel`: "brute" (no BVH), "bvh2"/"sbvh" (binary flat
@@ -140,10 +197,15 @@ def upload_scene(
             # (a (gpad, 128) f32 slab-min table per octant worklist); past
             # ~8k groups they blow the 16 MB scoped-VMEM budget.  Grow the
             # group size for huge scenes so G stays bounded — at 1M tris
-            # the default 128 becomes 256.
-            gt = max(wide_group_tris, 1)
-            while scene_np.num_triangles / gt > 6000 and gt < 1024:
-                gt *= 2
+            # the default 128 becomes 256.  An EXPLICIT wide_group_tris is
+            # honored as-is (group-size sweeps must see the value they
+            # asked for); only the None default auto-grows.
+            if wide_group_tris is None:
+                gt = 128
+                while scene_np.num_triangles / gt > 6000 and gt < 1024:
+                    gt *= 2
+            else:
+                gt = max(wide_group_tris, 1)
             wb = build_wide(
                 np.asarray(ordered.vertices),
                 np.asarray(ordered.tri_v),
@@ -201,9 +263,29 @@ def upload_scene(
         oct_start = np.zeros((8, 128), np.int32)
         oct_blk = np.full((8, 1, 16), np.nan, np.float32)
 
+    from caitlynrenderer_tpu.accel.bvh import tree_depth as _tree_depth
+
+    depth = int(_tree_depth(np.asarray(bvh.node_meta)))
+
     dev_scene = jax.tree_util.tree_map(to_dev, ordered)
+    from caitlynrenderer_tpu.core.math import ONEHOT_MAX_ROWS
+
+    if ordered.num_triangles > ONEHOT_MAX_ROWS:
+        # Large scenes: precompute the fused shading table once.  Small
+        # scenes build it inside the trace instead (differentiable w.r.t.
+        # direct ds.scene edits); large-scene optimization goes through
+        # grad.inverse.apply_params, which rebuilds the table — callers
+        # mutating ds.scene directly on a big scene must also refresh
+        # shade_tab (or set it to None to get the in-trace build).
+        from caitlynrenderer_tpu.render.integrator import _build_shade_table
+
+        shade_tab = _build_shade_table(dev_scene)
+    else:
+        shade_tab = None
     return DeviceScene(
+        tree_depth=depth,
         scene=dev_scene,
+        shade_tab=shade_tab,
         node_bounds=to_dev(bvh.node_bounds),
         node_meta=to_dev(bvh.node_meta),
         cw_nodes=to_dev(cw_nodes),
