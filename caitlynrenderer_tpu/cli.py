@@ -19,6 +19,12 @@ import time
 
 
 def cmd_render(args) -> int:
+    if args.mesh:
+        # Multi-host wiring MUST precede any backend query (jax.devices,
+        # jit, device_put) — see parallel.distributed.init_distributed.
+        from caitlynrenderer_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
     import jax
     import numpy as np
 
@@ -57,6 +63,54 @@ def cmd_render(args) -> int:
     )
 
     spp = args.spp or options.max_samples
+    spl = max(1, args.spp_per_launch)  # guard non-positive values
+
+    if args.mesh:
+        # Sharded render over the device mesh: pixels over dp, sample
+        # streams over sp (psum), image assembled on every host.  The
+        # same path runs on the 8-device virtual CPU mesh, one real
+        # chip, or a pod (jax.distributed wiring above).
+        from caitlynrenderer_tpu.parallel.distributed import (
+            assemble_image,
+            make_multihost_mesh,
+        )
+        from caitlynrenderer_tpu.parallel.render import (
+            init_sharded_state,
+            sharded_render_step,
+        )
+
+        sp = None
+        if args.mesh != "auto":
+            dp_s, _, sp_s = args.mesh.lower().partition("x")
+            sp = int(sp_s) if sp_s else 1
+            n_dev = len(jax.devices())
+            if int(dp_s) * sp != n_dev:
+                raise SystemExit(
+                    f"--mesh {args.mesh} needs {int(dp_s) * sp} devices, "
+                    f"found {n_dev}"
+                )
+        mesh = make_multihost_mesh(sp)
+        sp = mesh.shape["sp"]
+        w, h = options.width, options.height
+        state = init_sharded_state(mesh, w, h, seed=args.seed)
+        timer = metrics.StepTimer()
+        steps = max(1, spp // sp)
+        for _ in range(steps):
+            with timer.span("step"):
+                state = sharded_render_step(
+                    ds, camera, state, mesh, w, h, options
+                )
+                state.accum.block_until_ready()
+            timer.count("samples", sp)
+        img = assemble_image(state, mesh, w, h, options, sp)
+        if jax.process_index() == 0:
+            save_png(args.output, np.asarray(img))
+            metrics.log_record(
+                "mesh_render",
+                {"mesh": dict(mesh.shape), "spp": steps * sp, **timer.summary()},
+            )
+            print(f"wrote {args.output} ({steps * sp} spp, mesh {dict(mesh.shape)})")
+        return 0
 
     if args.turntable > 1:
         # Camera-path mode: the offline analog of the reference's
@@ -86,7 +140,14 @@ def cmd_render(args) -> int:
             )
             cam_k = make_camera(look + rot, look, fov_degrees=fov)
             state = progressive.reset(state)  # camera moved → restart
-            state = progressive.render_steps(ds, cam_k, state, w, h, options, spp)
+            # Chunk by --spp-per-launch like the main loop: one multi-
+            # minute launch of all spp samples would outrun the driver/
+            # measurement window on big scenes.
+            while int(state.frame_count) < spp:
+                chunk = min(spl, spp - int(state.frame_count))
+                state = progressive.render_steps(
+                    ds, cam_k, state, w, h, options, chunk
+                )
             img = progressive.resolve(state, w, h, options)
             frame_path = f"{base}_{k:03d}{ext}"
             save_png(frame_path, np.asarray(img))
@@ -125,12 +186,24 @@ def cmd_render(args) -> int:
 
     timer = metrics.StepTimer()
     last_ckpt = time.time()
+    last_logged = 0
+    log_every = max(spp // 10, 1)
     while int(state.frame_count) < spp:
         # Batch samples per device launch (lax.scan in render_steps):
         # dispatch through the TPU tunnel costs ~2 ms, a third of a 256²
         # frame.  The tail runs single steps to avoid a second compile.
+        # When checkpointing, cap the chunk so one launch stays under
+        # ~checkpoint_every of expected wall time (preemption can only
+        # lose work between launches).
         todo = spp - int(state.frame_count)
-        chunk = args.spp_per_launch if todo >= args.spp_per_launch else 1
+        chunk = spl if todo >= spl else 1
+        if args.resume and chunk > 1 and timer.counts.get("samples", 0) > 0:
+            s_per_sample = timer.spans.get("step", 0.0) / timer.counts["samples"]
+            budget = max(1, int(args.checkpoint_every / max(s_per_sample, 1e-9)))
+            # round the cap down to a power of two so `render_steps`
+            # compiles for at most a couple of distinct chunk lengths
+            while chunk > budget and chunk > 1:
+                chunk //= 2
         with timer.span("step"):
             if chunk > 1:
                 state = progressive.render_steps(
@@ -144,7 +217,11 @@ def cmd_render(args) -> int:
         if args.resume and time.time() - last_ckpt > args.checkpoint_every:
             checkpoint.save_render_state(args.resume, state)
             last_ckpt = time.time()
-        if int(state.frame_count) % max(spp // 10, 1) == 0:
+        # Log whenever frame_count crosses the next spp/10 boundary (the
+        # counter advances in chunk-sized jumps, so `% boundary` would
+        # mostly never fire).
+        if int(state.frame_count) // log_every > last_logged // log_every:
+            last_logged = int(state.frame_count)
             metrics.log_record(
                 "progress",
                 {"spp": int(state.frame_count), **timer.summary()},
@@ -238,7 +315,16 @@ def main(argv=None) -> int:
     r.add_argument(
         "--spp-per-launch", type=int, default=64,
         help="samples accumulated per device launch (lax.scan batching; "
-        "amortizes host→TPU dispatch latency)",
+        "amortizes host→TPU dispatch latency).  With --resume the chunk "
+        "is additionally capped so one launch stays under roughly "
+        "--checkpoint-every of wall time (checkpoints happen between "
+        "launches).  Values < 1 are treated as 1.",
+    )
+    r.add_argument(
+        "--mesh", default=None, metavar="DPxSP|auto",
+        help="render sharded over the device mesh (pixels over dp, sample "
+        "streams over sp), e.g. --mesh 4x2 or --mesh auto; wires "
+        "jax.distributed on multi-host launchers",
     )
     r.add_argument(
         "--aov",

@@ -8,15 +8,20 @@ out so the sample-parallel `psum` rides ICI within a host while the pixel
 axis spans hosts over DCN, and `process_allgather` for final image
 assembly.  Single-process runs (tests, the 8-device virtual CPU mesh, one
 real chip) take the same code paths with process_count == 1.
+
+Callers: `cli.py render --mesh` drives the sharded render end-to-end;
+`benchmarks/run_scaling.py` + tests/test_distributed.py exercise
+`scaling_report` on the virtual mesh (committed as
+benchmarks/SCALING_r5.json).
 """
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
-import jax
 import numpy as np
+
+_initialized = False
 
 
 def init_distributed(
@@ -24,30 +29,70 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> Tuple[int, int]:
-    """Initialize multi-host JAX when a coordinator is configured.
+    """Initialize multi-host JAX.  MUST run before anything queries a
+    backend (`jax.devices()`, `jax.process_count()`, any jit) — backend
+    queries initialize the local runtime, after which
+    `jax.distributed.initialize` cannot wire the job.  This function
+    therefore calls `jax.distributed.initialize` FIRST and only then
+    touches process_index/process_count.
 
-    Args fall back to the standard env vars (JAX_COORDINATOR_ADDRESS,
-    JAX_NUM_PROCESSES, JAX_PROCESS_ID — the names TPU pod launchers
-    export).  A plain single-process run (nothing configured) is a no-op.
-    Returns (process_index, process_count)."""
-    coordinator_address = coordinator_address or os.environ.get(
-        "JAX_COORDINATOR_ADDRESS"
-    )
-    if coordinator_address and jax.process_count() == 1:
-        num_processes = num_processes or int(
-            os.environ.get("JAX_NUM_PROCESSES", "0")
-        ) or None
-        process_id = (
-            process_id
-            if process_id is not None
-            else int(os.environ.get("JAX_PROCESS_ID", "-1"))
-        )
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=None if process_id < 0 else process_id,
-        )
+    With no arguments, initialization is attempted only in environments
+    JAX can auto-detect (TPU pods, SLURM, Open MPI — JAX reads their own
+    metadata; there are no framework-specific env vars).  Elsewhere a
+    no-arg call is a single-process no-op.  Explicit arguments force
+    initialization (pass them when hand-wiring a cluster).
+
+    Idempotent: repeat calls return the wired (process_index,
+    process_count) without re-initializing.
+    """
+    global _initialized
+    import jax
+
+    explicit = coordinator_address is not None or process_id is not None
+    if not _initialized:
+        if explicit:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                )
+            except RuntimeError as e:
+                # Already initialized (e.g. by the launcher) is fine; a
+                # real wiring failure on an explicit request is not.
+                if "already" not in str(e).lower():
+                    raise
+            _initialized = True
+        elif _auto_detectable():
+            try:
+                jax.distributed.initialize()
+                _initialized = True
+            except RuntimeError as e:
+                if "already" in str(e).lower():
+                    _initialized = True
+                # else: launcher env present but incomplete → single-process
+            except ValueError:
+                # env var present but no coordinator derivable (e.g. a
+                # single tunneled chip exporting TPU_* crumbs) → not a
+                # multi-host launch; stay single-process.
+                pass
     return jax.process_index(), jax.process_count()
+
+
+def _auto_detectable() -> bool:
+    """True when this process runs under a launcher whose own metadata
+    `jax.distributed.initialize()` can read (no arguments needed)."""
+    import os
+
+    return any(
+        k in os.environ
+        for k in (
+            "TPU_WORKER_HOSTNAMES",  # Cloud TPU pod runtime
+            "MEGASCALE_COORDINATOR_ADDRESS",  # multislice runtime
+            "SLURM_JOB_ID",
+            "OMPI_MCA_orte_hnp_uri",  # Open MPI
+        )
+    )
 
 
 def make_multihost_mesh(sp: Optional[int] = None):
@@ -56,54 +101,70 @@ def make_multihost_mesh(sp: Optional[int] = None):
     sp defaults to 2 when the per-host device count allows, so the
     sample-stream `psum` stays within a host (ICI); dp spans hosts (DCN).
     On one host this degenerates to parallel.mesh.make_mesh."""
+    import jax
     from jax.experimental import mesh_utils
-
-    from caitlynrenderer_tpu.parallel.mesh import factor_mesh
+    from jax.sharding import Mesh
 
     n = len(jax.devices())
     local = jax.local_device_count()
     if sp is None:
         sp = 2 if local % 2 == 0 and local > 1 else 1
+    if n % sp != 0:
+        raise ValueError(f"sp={sp} does not divide {n} devices")
     dp = n // sp
     devices = mesh_utils.create_device_mesh((dp, sp))
-    from jax.sharding import Mesh
-
     return Mesh(devices, ("dp", "sp"))
 
 
 def assemble_image(state, mesh, width: int, height: int, options, sp: int):
     """Full image on every host: resolve the dp-sharded accumulation and
     all-gather the host-local shards (`multihost_utils.process_allgather`,
-    the plan of SURVEY §5).  Single-process: plain device gather."""
-    from caitlynrenderer_tpu.parallel.render import gather_image
+    the plan of SURVEY §5).  Single-process: plain device gather.  Both
+    paths share parallel.render.resolve_accum — one resolve to maintain."""
+    import jax
+
+    from caitlynrenderer_tpu.parallel.render import gather_image, resolve_accum
 
     if jax.process_count() == 1:
         return np.asarray(gather_image(state, width, height, options, sp))
     from jax.experimental import multihost_utils
 
-    from caitlynrenderer_tpu.render.progressive import tonemap
-
     accum = multihost_utils.process_allgather(state.accum, tiled=True)
-    n = width * height
-    frames = max(float(state.frame_count) * sp, 1.0)
-    hdr = accum[:n] / frames * options.hdr_multiplier
-    img = np.asarray(tonemap(hdr, options.tonemap_limit))
-    return img.reshape(height, width, 3)[::-1]
+    return np.asarray(
+        resolve_accum(accum, state.frame_count, sp, width, height, options)
+    )
 
 
 def scaling_report(ds, camera, options, width: int, height: int, spp: int = 2):
     """Rays/s-per-chip at 1 device vs the full mesh → scaling efficiency
     (the BASELINE ≥85% target's harness).  Runs wherever it's called —
-    the 8-device virtual CPU mesh in tests/CI, real chips on a pod."""
+    the 8-device virtual CPU mesh in tests/CI, real chips on a pod.  Ray
+    counts are the instrumented closest+any-hit queries the integrator
+    actually issues (same metric as bench.py), not a w·h·depth proxy."""
     import time
 
-    import jax.numpy as jnp
+    import jax
 
     from caitlynrenderer_tpu.parallel.mesh import make_mesh
     from caitlynrenderer_tpu.parallel.render import (
         init_sharded_state,
         sharded_render_step,
     )
+    from caitlynrenderer_tpu.core.camera import generate_rays
+    from caitlynrenderer_tpu.render import sampling
+    from caitlynrenderer_tpu.render.integrator import trace_paths
+
+    @jax.jit
+    def _count(uni):
+        o, d = generate_rays(camera, width, height, uni)
+        _, stats = trace_paths(ds, o, d, uni, options, with_stats=True)
+        return stats
+
+    stats = jax.device_get(
+        _count(sampling.draw_uniforms(jax.random.PRNGKey(0), width * height,
+                                      options.max_depth))
+    )
+    rays_per_sample = int(stats["rays_closest"]) + int(stats["rays_anyhit"])
 
     def measure(devs):
         mesh = make_mesh(devs, shape=(len(devs), 1))
@@ -118,14 +179,14 @@ def scaling_report(ds, camera, options, width: int, height: int, spp: int = 2):
             st = step(st)
         st.accum.block_until_ready()
         dt = time.perf_counter() - t0
-        rays = width * height * options.max_depth * spp  # upper-bound proxy
-        return rays / dt / len(devs)
+        return rays_per_sample * spp / dt / len(devs)
 
     devs = jax.devices()
     r1 = measure(devs[:1])
     rn = measure(devs)
     return {
         "devices": len(devs),
+        "rays_per_sample": rays_per_sample,
         "rays_per_sec_per_chip_1": round(r1, 1),
         "rays_per_sec_per_chip_n": round(rn, 1),
         "scaling_efficiency": round(rn / r1, 4),

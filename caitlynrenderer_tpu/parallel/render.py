@@ -105,16 +105,25 @@ def sharded_render_step(
     )
 
 
-def gather_image(state: RenderState, width: int, height: int, options: RenderOptions, sp: int):
-    """Resolve the sharded accumulation to a host image (multi-host callers
-    wrap this in `multihost_utils.process_allgather`)."""
+def resolve_accum(accum, frame_count, sp: int, width: int, height: int, options: RenderOptions):
+    """Shared resolve for sharded accumulations: 1/(frames·sp) + tonemap +
+    row flip.  Used by gather_image (single-process) and
+    distributed.assemble_image (multi-host) — one resolve to maintain."""
     from caitlynrenderer_tpu.render.progressive import tonemap
 
     n = width * height
-    frames = jnp.maximum(state.frame_count.astype(jnp.float32) * sp, 1.0)
-    hdr = state.accum[:n] / frames * options.hdr_multiplier
+    frames = jnp.maximum(jnp.float32(frame_count) * sp, 1.0)
+    hdr = accum[:n] / frames * options.hdr_multiplier
     img = tonemap(hdr, options.tonemap_limit)
     return jnp.asarray(img).reshape(height, width, 3)[::-1]
+
+
+def gather_image(state: RenderState, width: int, height: int, options: RenderOptions, sp: int):
+    """Resolve the sharded accumulation to a host image (multi-host callers
+    wrap this in `multihost_utils.process_allgather`)."""
+    return resolve_accum(
+        state.accum, state.frame_count, sp, width, height, options
+    )
 
 
 # ---------------------------------------------------------------------------
