@@ -181,6 +181,12 @@ class RenderOptions(NamedTuple):
     # overflow, so library callers get a loud error instead of wrong hits.
     max_stack: int = 32
     ray_chunk: int = 8192  # traversal chunk size (coherence-sorted lax.map)
+    # Russian roulette: bounces >= rr_start survive with probability
+    # max(T) (clamped to [0.05, 1]), throughput compensated by 1/p.
+    # -1 disables (the default — matches the oracle and the reference's
+    # fixed 3-bounce loop); deep-bounce configs (BASELINE #4: 6 bounces)
+    # set rr_start=2 so near-black lanes stop paying traversals.
+    rr_start: int = -1
     tonemap_limit: float = 2.0  # luminance clamp in resolve (output.fs:16-18)
     exact_reference_nee: bool = False  # reproduce reference NEE estimator
     # Material families present in the scene (static, so jit traces only the

@@ -46,7 +46,7 @@ _SPECULAR_IDS = np.array([int(t) for t in SPECULAR_TYPES], np.int32)
 
 
 def uniforms_per_sample(max_depth: int) -> int:
-    return 4 + 6 * max_depth
+    return 4 + 7 * max_depth
 
 
 def _normalize(v, axis=-1):
@@ -191,7 +191,7 @@ def render(
 ):
     """Trace one sample per pixel; returns (H, W, 3) float32 radiance.
 
-    `uniforms`: (H*W, 4 + 5*max_depth) in [0, 1).
+    `uniforms`: (H*W, 4 + 7*max_depth) in [0, 1).
     """
     n = width * height
     assert uniforms.shape == (n, uniforms_per_sample(max_depth)), uniforms.shape
@@ -210,7 +210,7 @@ def render(
     for bounce in range(max_depth):
         if not alive.any():
             break
-        base = 4 + 6 * bounce
+        base = 4 + 7 * bounce  # slot 6 = RR draw (unused: the oracle never RRs)
         u_lp = uniforms[:, base + 0]
         u_l1 = uniforms[:, base + 1]
         u_l2 = uniforms[:, base + 2]

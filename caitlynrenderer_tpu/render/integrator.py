@@ -386,7 +386,7 @@ def trace_paths(
     and any-hit ray queries issued (for honest rays/sec metrics and the
     bounce-occupancy log, SURVEY.md §5 observability).
 
-    uniforms: (N, 4 + 5*max_depth) — layout in render/sampling.py; the
+    uniforms: (N, 4 + 7*max_depth) — layout in render/sampling.py; the
     first 4 (raygen) entries are unused here.
     """
     n = o.shape[0]
@@ -427,8 +427,10 @@ def trace_paths(
     # that produced each ray's origin (previous bounce's winning group).
     og = jnp.zeros(n, jnp.int32)
 
+    alive_per_bounce = []
+
     for bounce in range(options.max_depth):
-        base = 4 + 6 * bounce
+        base = 4 + 7 * bounce
         u_lp = uniforms[:, base + 0]
         u_l1 = uniforms[:, base + 1]
         u_l2 = uniforms[:, base + 2]
@@ -436,6 +438,21 @@ def trace_paths(
         u_b2 = uniforms[:, base + 4]
         u_lobe = uniforms[:, base + 5]
 
+        # --- Russian roulette (bounces >= rr_start): survive with
+        # probability p = max throughput component, compensate T by 1/p.
+        # The reference never needed RR (3 hard-coded bounces,
+        # `path_trace.fs:867`); a 6-bounce wavefront does — without it
+        # every lane rides to max_depth while carrying ~zero throughput.
+        # Unbiased: E[T'] = p·(T/p) = T.  Detached decision (standard
+        # estimator choice, grad/inverse.py docstring).
+        if 0 <= options.rr_start <= bounce:
+            u_rr = uniforms[:, base + 6]
+            p_surv = jnp.clip(jnp.max(T, axis=1), 0.05, 1.0)
+            p_surv = jax.lax.stop_gradient(p_surv)
+            alive = alive & (u_rr < p_surv)
+            T = T / p_surv[:, None]
+
+        alive_per_bounce.append(jnp.sum(alive.astype(jnp.int32)))
         n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
         if fused:
             raw, grp, preorder = _closest_hit_raw(
@@ -647,7 +664,11 @@ def trace_paths(
         is_specular = new_spec
 
     if with_stats:
-        return L, {"rays_closest": n_closest, "rays_anyhit": n_anyhit}
+        return L, {
+            "rays_closest": n_closest,
+            "rays_anyhit": n_anyhit,
+            "alive_per_bounce": jnp.stack(alive_per_bounce),
+        }
     return L
 
 

@@ -14,10 +14,11 @@ Uniform layout per pixel-sample (consumed identically by the CPU oracle in
 
     [0:2]  tent-filter AA jitter pair
     [2:4]  thin-lens aperture pair
-    then per bounce b: [4+6b : 10+6b] =
-        light_pick, light_u1, light_u2, bsdf_u1, bsdf_u2, bsdf_lobe
+    then per bounce b: [4+7b : 11+7b] =
+        light_pick, light_u1, light_u2, bsdf_u1, bsdf_u2, bsdf_lobe, rr
     (bsdf_lobe selects the Disney sampling lobe / the dielectric
-     reflect-vs-refract branch)
+     reflect-vs-refract branch; rr is the Russian-roulette survival draw,
+     consumed only when RenderOptions.rr_start enables RR)
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 
 
 def uniforms_per_sample(max_depth: int) -> int:
-    return 4 + 6 * max_depth
+    return 4 + 7 * max_depth
 
 
 def draw_uniforms(key: jax.Array, num_pixels: int, max_depth: int) -> jax.Array:
@@ -35,7 +36,7 @@ def draw_uniforms(key: jax.Array, num_pixels: int, max_depth: int) -> jax.Array:
 
     key: a threefry key already folded with the sample index
          (e.g. `jax.random.fold_in(base_key, sample_idx)`).
-    Returns (num_pixels, 4 + 5*max_depth) float32 in [0, 1).
+    Returns (num_pixels, 4 + 7*max_depth) float32 in [0, 1).
     """
     return jax.random.uniform(
         key, (num_pixels, uniforms_per_sample(max_depth)), jnp.float32
@@ -51,7 +52,7 @@ def pixel_uniforms(key: jax.Array, pixel_ids, max_depth: int) -> jax.Array:
     Costs one threefry fold per pixel — counter-based RNG is exactly what
     makes this affordable (SURVEY.md §7 RNG design).
 
-    pixel_ids: (N,) i32. Returns (N, 4 + 5*max_depth) f32 in [0, 1).
+    pixel_ids: (N,) i32. Returns (N, 4 + 7*max_depth) f32 in [0, 1).
     """
     n_u = uniforms_per_sample(max_depth)
 

@@ -1,25 +1,35 @@
-"""Test configuration: force an 8-device virtual CPU mesh.
+"""Test configuration: an 8-device virtual CPU mesh by default, real TPU
+hardware on request.
 
-All tests run on CPU (fast, deterministic, no TPU needed); the sharding
-tests get 8 virtual devices via XLA_FLAGS, exactly the strategy described
-in SURVEY.md §4.5.  Must run before jax initializes its backends.
+Default: all tests run on CPU (fast, deterministic, no TPU needed); the
+sharding tests get 8 virtual devices via XLA_FLAGS, exactly the strategy
+described in SURVEY.md §4.5.  Must run before jax initializes its backends.
+
+Hardware tier: `CAITLYN_TEST_PLATFORM=tpu pytest -m tpu` leaves the
+backend alone (the environment's TPU plugin resolves) and runs the
+`tpu`-marked kernel-parity tests on the real chip in a few minutes — the
+documented hardware check of .claude/skills/verify/SKILL.md.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_PLATFORM = os.environ.get("CAITLYN_TEST_PLATFORM", "cpu")
+
+if _PLATFORM != "tpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # The environment may pre-set JAX_PLATFORMS (e.g. the axon TPU tunnel) and
 # partially pre-import jax, in which case the env var alone is ignored —
 # force the platform through the config API as well.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM != "tpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 

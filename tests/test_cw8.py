@@ -78,6 +78,7 @@ def test_pack_cw8_window_planes_match_moller_trumbore():
         assert not ok[tri_ids >= t_count].any()
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="Pallas cw8 kernel is TPU-only"
 )

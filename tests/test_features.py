@@ -205,3 +205,108 @@ def test_deep_tree_traversal_needs_sized_stack():
 def test_required_stack_cornell(cornell_setup):
     _, ds, _ = cornell_setup
     assert required_stack(ds) >= 32
+
+
+# ---------------------------------------------------------------------------
+# Russian roulette (rr_start) + trace-time stack guard
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_russian_roulette_kills_lanes_and_stays_unbiased(cornell_setup):
+    """RR must (a) reduce per-bounce active lanes, (b) leave the estimator
+    unbiased: the many-sample mean with rr_start=1 matches rr off within
+    Monte-Carlo tolerance."""
+    from caitlynrenderer_tpu.core.camera import generate_rays
+    from caitlynrenderer_tpu.render.integrator import trace_paths
+
+    _, ds, camera = cornell_setup
+    w = h = 16
+    depth = 4
+    base = RenderOptions(width=w, height=h, max_depth=depth)
+    rr = base._replace(rr_start=1)
+
+    key = jax.random.PRNGKey(5)
+    spp = 96
+    acc = {True: 0.0, False: 0.0}
+    alive_rr = alive_off = None
+    for i in range(spp):
+        uni = sampling.pixel_uniforms(
+            jax.random.fold_in(key, i), jnp.arange(w * h), depth
+        )
+        o, d = generate_rays(camera, w, h, uni)
+        for use_rr in (True, False):
+            opt = rr if use_rr else base
+            L, st = trace_paths(ds, o, d, uni, opt, with_stats=True)
+            acc[use_rr] = acc[use_rr] + np.asarray(L)
+            if i == 0:
+                apb = np.asarray(st["alive_per_bounce"])
+                if use_rr:
+                    alive_rr = apb
+                else:
+                    alive_off = apb
+    # (a) lanes die earlier with RR on
+    assert alive_rr[depth - 1] < alive_off[depth - 1]
+    assert alive_rr[0] == alive_off[0]  # primary bounce untouched
+    # (b) unbiasedness: means agree within MC noise
+    m_rr = acc[True] / spp
+    m_off = acc[False] / spp
+    err = np.abs(m_rr - m_off).mean() / max(m_off.mean(), 1e-6)
+    assert err < 0.08, err
+
+
+def test_integrator_stack_guard_raises_loudly():
+    """A build whose tree is deeper than options.max_stack must raise at
+    trace time (DeviceScene.tree_depth static metadata), not clamp."""
+    from caitlynrenderer_tpu.accel.bvh import FlatBVH
+
+    depth = 48
+    node_bounds, node_meta = _chain_bvh(depth)
+    bvh = FlatBVH(
+        node_bounds=node_bounds,
+        node_meta=node_meta,
+        tri_order=np.arange(depth, dtype=np.int32),
+    )
+    scene, _ = cornell_box(with_boxes=False)
+    # a degenerate scene paired with the deep prebuilt tree is enough:
+    # the guard fires before any traversal runs
+    verts = np.zeros((3 * depth, 3), np.float32)
+    tri_v = np.zeros((depth, 4), np.int32)
+    scene = scene._replace(vertices=verts, tri_v=tri_v,
+                           tri_vn=np.zeros((depth, 4), np.int32),
+                           tri_vt=np.full((depth, 4), -1, np.int32))
+    ds = upload_scene(scene, accel="bvh2", bvh=bvh, max_leaf=1)
+    assert ds.tree_depth == depth
+    pos = np.zeros(3, np.float32)
+    camera = make_camera(pos + [0, 0, 5], pos, 40.0)
+    options = RenderOptions(width=8, height=8, max_depth=1)  # max_stack=32
+    uni = sampling.draw_uniforms(jax.random.PRNGKey(0), 64, 1)
+    with pytest.raises(ValueError, match="max_stack"):
+        jax.block_until_ready(render_sample(ds, camera, uni, 8, 8, options))
+    # sized correctly -> no raise
+    ok = options._replace(max_stack=required_stack(ds))
+    jax.block_until_ready(render_sample(ds, camera, uni, 8, 8, ok))
+
+
+def test_russian_roulette_reduces_active_lanes_fast(cornell_setup):
+    """One-sample smoke: rr_start kills lanes on late bounces only (the
+    statistical unbiasedness check is the slow-tier test above)."""
+    from caitlynrenderer_tpu.core.camera import generate_rays
+    from caitlynrenderer_tpu.render.integrator import trace_paths
+
+    _, ds, camera = cornell_setup
+    w = h = 16
+    depth = 4
+    uni = sampling.pixel_uniforms(
+        jax.random.fold_in(jax.random.PRNGKey(5), 0), jnp.arange(w * h), depth
+    )
+    o, d = generate_rays(camera, w, h, uni)
+    base = RenderOptions(width=w, height=h, max_depth=depth)
+    _, st_off = trace_paths(ds, o, d, uni, base, with_stats=True)
+    _, st_rr = trace_paths(
+        ds, o, d, uni, base._replace(rr_start=1), with_stats=True
+    )
+    a_off = np.asarray(st_off["alive_per_bounce"])
+    a_rr = np.asarray(st_rr["alive_per_bounce"])
+    assert a_rr[0] == a_off[0]
+    assert a_rr[depth - 1] < a_off[depth - 1]

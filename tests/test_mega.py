@@ -338,3 +338,28 @@ def test_pack_mega_adversarial_triangles():
     # the degenerate triangle never reports a hit
     t_deg, _, _ = _bw_eval(planes.astype(np.float64), kp, o, d)
     assert not np.isfinite(t_deg[:, k - 1]).any()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled mega kernel is TPU-only"
+)
+def test_mega_kernel_matches_brute_on_hardware():
+    """COMPILED-kernel parity on the real chip (the CPU suite can only run
+    the interpreted kernel).  Part of the documented hardware tier:
+    CAITLYN_TEST_PLATFORM=tpu pytest -m tpu.  One scene: each distinct
+    (gpad, kp) is a fresh ~60 s kernel compile, and the CPU interpret
+    test already covers the shape variants."""
+    tag, scene, kg = _scenes()[1]  # 2000-tri soup
+    sr, args = _build(scene, kg)
+    o, d = _mixed_rays(sr, 512, seed=7)
+    tri_m, grp = _assert_closest_matches_brute(sr, args, o, d, tag)
+    # any-hit agrees with brute occlusion on the same rays
+    t_b, tri_b, _, _ = isect.intersect_brute(
+        o, d, jnp.asarray(sr.vertices), jnp.asarray(sr.tri_v)
+    )
+    occ_b = np.asarray(tri_b) >= 0
+    occ_m = np.asarray(
+        mega_anyhit(o, d, jnp.full(o.shape[0], 1e9), jnp.ones(o.shape[0], bool), *args)
+    )
+    np.testing.assert_array_equal(occ_b, occ_m, err_msg=tag)
