@@ -69,11 +69,11 @@ def _measure(ds, camera, scene, options, steps=4, warmup=1):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--skip", type=int, nargs="*", default=[])
-    ap.add_argument("--grid1m-res", type=int, default=512,
-                    help="render size for config 4 (1024 is the full config; "
-                    "512 keeps the run under the driver timeout)")
+    ap.add_argument("--grid1m-res", type=int, default=1024,
+                    help="render size for config 4 (1024 = the BASELINE "
+                    "spec; pass 512 for a quick run)")
     ap.add_argument("--accel4", nargs="*", default=["cwbvh", "wide"],
                     help="accels to measure for config 4")
     args = ap.parse_args()
@@ -134,22 +134,29 @@ def main():
         m = _measure(ds, gcam, gscene, opt, steps=2)
         record("config3_sbvh100k_512", {**m, "sbvh_build_s": round(sbvh_s, 3)})
 
-    # --- config 4: CWBVH 1M tris vs wide 1M tris (README.md:22 claim)
+    # --- config 4: CWBVH 1M tris vs wide 1M tris (README.md:22 claim),
+    # at the BASELINE spec (1024^2, 6 bounces) by default, with and
+    # without Russian roulette on the wide path (rr_start=2 — the deep-
+    # bounce configuration RR exists for).
     if 4 not in args.skip:
         mscene, _ = builtin_scenes.displaced_grid(resolution=708)
         res = args.grid1m_res
         for accel in args.accel4:
             t0 = time.perf_counter()
-            # group_tris=256 at 1M tris: halves the per-octant worklist
-            # (G≈5.7k vs 11.4k), keeping the mega kernel's phase-A VMEM
-            # tables under the 16 MB scoped-vmem limit.
-            ds = upload_scene(mscene, accel=accel, wide_group_tris=256)
+            # group_tris auto-grows to 256 at 1M tris (scene.upload_scene),
+            # keeping the mega kernel's phase-A VMEM tables under the
+            # 16 MB scoped-vmem limit.
+            ds = upload_scene(mscene, accel=accel)
             build = time.perf_counter() - t0
             opt = RenderOptions(width=res, height=res, max_depth=6,
                                 accel=accel, families=scene_families(mscene))
             m = _measure(ds, gcam, mscene, opt, steps=1, warmup=1)
             record(f"config4_grid1m_{accel}_{res}",
                    {**m, "build_s": round(build, 3)})
+            if accel == "wide":
+                m_rr = _measure(ds, gcam, mscene,
+                                opt._replace(rr_start=2), steps=1, warmup=1)
+                record(f"config4_grid1m_wide_{res}_rr2", m_rr)
 
     # --- config 5 scalar: grad-pass overhead ratio (cornell 64, depth 2)
     if 5 not in args.skip:
@@ -189,6 +196,41 @@ def main():
             "forward_ms": round(t_fwd * 1e3, 3),
             "value_and_grad_ms": round(t_grad * 1e3, 3),
             "overhead_ratio": round(t_grad / t_fwd, 3),
+        })
+
+        # Production-path grad overhead (the number BASELINE actually
+        # wants): value_and_grad vs forward on the wide/mega accel at
+        # 256^2 on the 100k-tri scene — the backward re-plays shading
+        # from the Pallas kernel's detached hit ids.
+        ds_w = upload_scene(gscene, accel="wide")
+        w = h = 256
+        opt_w = RenderOptions(width=w, height=h, max_depth=2, accel="wide",
+                              families=scene_families(gscene))
+        uni = sampling.draw_uniforms(key, w * h, 2)
+        fwd_w = jax.jit(lambda u: render_sample(ds_w, gcam, u, w, h, opt_w))
+        fwd_w(uni).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = fwd_w(uni)
+        out.block_until_ready()
+        t_fwd_w = (time.perf_counter() - t0) / 4
+
+        target_w = fwd_w(uni)
+        loss_w = make_loss(ds_w, gcam, target_w, w, h, opt_w)
+        params_w = {"albedo": ds_w.scene.materials.albedo,
+                    "disney": ds_w.scene.materials.disney,
+                    "cam_position": jnp.asarray(gcam.position)}
+        gfw = jax.jit(jax.value_and_grad(loss_w))
+        gfw(params_w, key)[0].block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(4):
+            loss, grads = gfw(params_w, key)
+        loss.block_until_ready()
+        t_grad_w = (time.perf_counter() - t0) / 4
+        record("config5_grad_overhead_wide256", {
+            "forward_ms": round(t_fwd_w * 1e3, 3),
+            "value_and_grad_ms": round(t_grad_w * 1e3, 3),
+            "overhead_ratio": round(t_grad_w / t_fwd_w, 3),
         })
 
     out_path = os.path.join(

@@ -195,14 +195,19 @@ def upload_scene(
 
             # The mega kernel's phase-A tables scale with the group count
             # (a (gpad, 128) f32 slab-min table per octant worklist); past
-            # ~8k groups they blow the 16 MB scoped-VMEM budget.  Grow the
-            # group size for huge scenes so G stays bounded — at 1M tris
-            # the default 128 becomes 256.  An EXPLICIT wide_group_tris is
-            # honored as-is (group-size sweeps must see the value they
-            # asked for); only the None default auto-grows.
+            # ~8k groups they blow the 16 MB scoped-VMEM budget.  Default
+            # 256 (round-5 sweep at grid100k: 128/256/512/1024 closest =
+            # 31.2/27.4/28.6/35.4 ms — the v4 block cull + revalidation
+            # moved the optimum up from v3's 128), growing for huge scenes
+            # so G stays bounded.  An EXPLICIT wide_group_tris is honored
+            # as-is (group-size sweeps must see the value they asked for);
+            # only the None default auto-grows.
+            # Round-5 sweep at 1M tris: 256/512/1024 closest =
+            # 90.3/71.3/70.7 ms → grow to 512 near 1M (1024 ties but
+            # doubles the kernel's DMA ring VMEM).
             if wide_group_tris is None:
-                gt = 128
-                while scene_np.num_triangles / gt > 6000 and gt < 1024:
+                gt = 256
+                while scene_np.num_triangles / gt > 2000 and gt < 1024:
                     gt *= 2
             else:
                 gt = max(wide_group_tris, 1)
