@@ -30,8 +30,6 @@ import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 1.0e8  # documented estimate, see module docstring
 
-BRUTE_MAX_TRIS = 2048  # below this, the dense Pallas sweep wins over any BVH
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -92,7 +90,9 @@ def main():
         raise SystemExit(f"unknown scene {args.scene}")
 
     if args.accel == "auto":
-        args.accel = "brute" if scene.num_triangles <= BRUTE_MAX_TRIS else "wide"
+        from caitlynrenderer_tpu.scene import auto_accel
+
+        args.accel = auto_accel(scene)  # never cwbvh: CWBVH_VERDICT.md
 
     t_build0 = time.perf_counter()
     ds = upload_scene(scene, accel=args.accel, wide_group_tris=args.group_tris)

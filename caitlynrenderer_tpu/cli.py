@@ -46,6 +46,12 @@ def cmd_render(args) -> int:
         aov=args.aov,
     )
 
+    if options.accel == "auto":
+        from caitlynrenderer_tpu.scene import auto_accel
+
+        # Production policy: brute for tiny scenes, wide above — never
+        # cwbvh (format-parity only; benchmarks/CWBVH_VERDICT.md).
+        options = options._replace(accel=auto_accel(scene))
     t0 = time.perf_counter()
     ds = upload_scene(scene, accel=options.accel, max_leaf=options.max_leaf)
     # Size the traversal stack from the actual build — deep trees would
@@ -261,6 +267,10 @@ def cmd_optimize(args) -> int:
     options = config.options_from_config(
         cfg, width=args.width, height=args.height, max_depth=args.depth
     )
+    if options.accel == "auto":
+        from caitlynrenderer_tpu.scene import auto_accel
+
+        options = options._replace(accel=auto_accel(scene))
     ds = upload_scene(scene, accel=options.accel, max_leaf=options.max_leaf)
     w, h = options.width, options.height
 

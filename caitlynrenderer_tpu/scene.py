@@ -135,6 +135,18 @@ def scene_families(scene_np: SceneArrays) -> tuple:
     return tuple(fams) if fams else ("lambert",)
 
 
+BRUTE_MAX_TRIS = 2048  # below this, the dense Pallas sweep beats any BVH
+
+
+def auto_accel(scene_np: SceneArrays) -> str:
+    """Production accelerator policy: the fused Pallas brute-force sweep
+    for tiny scenes, the streaming wide megakernel for everything else.
+    NEVER cwbvh: the 8-wide compressed walk is format-parity only on TPU
+    — measured 0.30-0.70x the wide sweep at every scale
+    (benchmarks/CWBVH_VERDICT.md has the numbers and the mechanism)."""
+    return "brute" if scene_np.num_triangles <= BRUTE_MAX_TRIS else "wide"
+
+
 def required_stack(ds_or_meta) -> int:
     """Traversal stack size that provably cannot overflow for this build:
     the actual tree depth + 1 (floored at the historical default 32).
