@@ -16,6 +16,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -35,17 +36,22 @@ def _measure(ds, camera, scene, options, steps=4, warmup=1):
     key = jax.random.PRNGKey(0)
     uniforms = sampling.draw_uniforms(key, n, depth)
 
-    @jax.jit
-    def count_fn(uni):
+    # ds/camera must be jit ARGUMENTS, not closures: closed-over device
+    # arrays ship as constants with the compile payload (a 1M-tri scene
+    # is ~140 MB of Baldwin-Weber planes — the tunneled remote-compile
+    # service rejects the request with HTTP 413).
+    @partial(jax.jit, static_argnames=())
+    def count_fn(ds, camera, uni):
         o, d = generate_rays(camera, w, h, uni)
         _, stats = trace_paths(ds, o, d, uni, options, with_stats=True)
         return stats
 
-    stats = jax.device_get(count_fn(uniforms))
+    stats = jax.device_get(count_fn(ds, camera, uniforms))
     rays_per_sample = int(stats["rays_closest"]) + int(stats["rays_anyhit"])
 
     step = jax.jit(
-        lambda acc, uni: acc + render_sample(ds, camera, uni, w, h, options)
+        lambda ds, camera, acc, uni: acc
+        + render_sample(ds, camera, uni, w, h, options)
     )
     unis = [
         sampling.draw_uniforms(jax.random.fold_in(key, i), n, depth)
@@ -53,11 +59,11 @@ def _measure(ds, camera, scene, options, steps=4, warmup=1):
     ]
     acc = jnp.zeros((n, 3), jnp.float32)
     for i in range(warmup):
-        acc = step(acc, unis[i])
+        acc = step(ds, camera, acc, unis[i])
     acc.block_until_ready()
     t0 = time.perf_counter()
     for i in range(warmup, warmup + steps):
-        acc = step(acc, unis[i])
+        acc = step(ds, camera, acc, unis[i])
     acc.block_until_ready()
     dt = time.perf_counter() - t0
     return {
@@ -207,15 +213,17 @@ def main():
         opt_w = RenderOptions(width=w, height=h, max_depth=2, accel="wide",
                               families=scene_families(gscene))
         uni = sampling.draw_uniforms(key, w * h, 2)
-        fwd_w = jax.jit(lambda u: render_sample(ds_w, gcam, u, w, h, opt_w))
-        fwd_w(uni).block_until_ready()
+        fwd_w = jax.jit(
+            lambda ds_, u: render_sample(ds_, gcam, u, w, h, opt_w)
+        )
+        fwd_w(ds_w, uni).block_until_ready()
         t0 = time.perf_counter()
         for _ in range(4):
-            out = fwd_w(uni)
+            out = fwd_w(ds_w, uni)
         out.block_until_ready()
         t_fwd_w = (time.perf_counter() - t0) / 4
 
-        target_w = fwd_w(uni)
+        target_w = fwd_w(ds_w, uni)
         loss_w = make_loss(ds_w, gcam, target_w, w, h, opt_w)
         params_w = {"albedo": ds_w.scene.materials.albedo,
                     "disney": ds_w.scene.materials.disney,
@@ -237,8 +245,15 @@ def main():
         os.path.dirname(os.path.abspath(__file__)),
         f"RESULTS_r{args.round}.json",
     )
+    # Merge with an existing round file so --skip'd configs measured in a
+    # separate invocation (the big ones outrun one driver window) survive.
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     print("wrote", out_path)
 
 

@@ -68,7 +68,13 @@ TILE = 128  # rays per kernel tile (= VPU lane width)
 PACKETS = int(os.environ.get("MEGA_PACKETS", "4"))
 PSUB = TILE // PACKETS  # rays per packet
 KBAND = 8  # contraction rows per packet band (= plane block rows)
-CHUNK = 262144  # rays per kernel launch
+# Rays per kernel launch.  Bounded because ONE pallas_call walks
+# CHUNK/128 tiles back to back: at 1M tris a bounce tile costs ~0.7 ms,
+# and a multi-second single kernel can trip the TPU driver watchdog
+# (observed as "TPU worker process crashed" on 1024²×6-bounce frames at
+# 262144).  131072 keeps the longest call ~0.7 s with no measurable
+# throughput cost at 256² scenes (launch overhead amortizes via lax.map).
+CHUNK = int(os.environ.get("MEGA_CHUNK", "131072"))
 DEPTH = int(os.environ.get("MEGA_DEPTH", "4"))  # DMA ring depth (prefetch)
 _STATS = os.environ.get("MEGA_STATS") == "1"  # extra (n_sub, 8, 128) i32
 # output: row 0 = sweep steps executed by the tile (diagnostics)
