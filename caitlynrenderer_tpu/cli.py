@@ -52,6 +52,12 @@ def cmd_render(args) -> int:
         # Production policy: brute for tiny scenes, wide above — never
         # cwbvh (format-parity only; benchmarks/CWBVH_VERDICT.md).
         options = options._replace(accel=auto_accel(scene))
+    if "families" not in cfg.get("render", {}):
+        from caitlynrenderer_tpu.scene import scene_families
+
+        # Trace only the shading lobes the scene's materials use (static
+        # jit specialization; an all-Lambert scene skips Disney/glass).
+        options = options._replace(families=scene_families(scene))
     t0 = time.perf_counter()
     ds = upload_scene(scene, accel=options.accel, max_leaf=options.max_leaf)
     # Size the traversal stack from the actual build — deep trees would
@@ -271,6 +277,10 @@ def cmd_optimize(args) -> int:
         from caitlynrenderer_tpu.scene import auto_accel
 
         options = options._replace(accel=auto_accel(scene))
+    if "families" not in cfg.get("render", {}):
+        from caitlynrenderer_tpu.scene import scene_families
+
+        options = options._replace(families=scene_families(scene))
     ds = upload_scene(scene, accel=options.accel, max_leaf=options.max_leaf)
     w, h = options.width, options.height
 
@@ -290,9 +300,35 @@ def cmd_optimize(args) -> int:
             target = target + render_sample(ds, camera, uni, w, h, options)
         target = target / args.target_spp
 
-    params = {"albedo": ds.scene.materials.albedo.at[:, :3].mul(args.perturb)}
+    # Optimize only the parameter groups that are actually perturbed —
+    # including identity-perturbed groups just adds MC-noise random walk
+    # (Adam steps ~lr per step regardless of gradient signal).
+    params = {}
+    truth = {}
+    if args.perturb != 1.0:
+        params["albedo"] = ds.scene.materials.albedo.at[:, :3].mul(args.perturb)
+        truth["albedo"] = ds.scene.materials.albedo
+    if args.perturb_roughness:
+        # Disney parameter recovery (BASELINE config #5): offset the
+        # roughness of the DISNEY-typed materials (only those rows have
+        # gradient signal) and let the optimizer pull it back.
+        from caitlynrenderer_tpu.core.types import LAMBERT_TYPES
+
+        types = ds.scene.materials.albedo[:, 3].astype(jnp.int32)
+        lam = jnp.isin(types, jnp.asarray([int(t) for t in LAMBERT_TYPES]))
+        opt_rows = ~lam  # the disney-family rows
+        true_d = ds.scene.materials.disney
+        r0 = jnp.clip(
+            true_d[:, 0] + args.perturb_roughness, 0.02, 0.98
+        )
+        params["disney"] = true_d.at[:, 0].set(
+            jnp.where(opt_rows, r0, true_d[:, 0])
+        )
+        truth["disney"] = true_d
+        truth["_disney_rows"] = opt_rows
     if args.optimize_camera:
         params["cam_position"] = jnp.asarray(camera.position)
+        truth["cam_position"] = jnp.asarray(camera.position)
 
     def cb(i, loss, p):
         if i % 10 == 0:
@@ -304,6 +340,19 @@ def cmd_optimize(args) -> int:
     )
     checkpoint.save_params(args.output, params)
     print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}; wrote {args.output}")
+    if not args.target:
+        # Self-target mode knows the ground truth: report recovery error
+        # per parameter group (the convergence metric, not just motion).
+        for k, tv in truth.items():
+            if k not in params:
+                continue
+            err_m = jnp.abs(params[k] - tv)
+            if k == "disney" and "_disney_rows" in truth:
+                # only the disney-typed rows' roughness carries signal
+                err_m = jnp.where(truth["_disney_rows"], err_m[:, 0], 0.0)
+            err = float(jnp.max(err_m))
+            metrics.log_record("opt_final", {"param": k, "max_err": round(err, 5)})
+            print(f"  {k}: max |err| vs truth = {err:.5f}")
     return 0
 
 
@@ -363,6 +412,11 @@ def main(argv=None) -> int:
     o.add_argument("--steps", type=int, default=100)
     o.add_argument("--lr", type=float, default=2e-2)
     o.add_argument("--perturb", type=float, default=0.5)
+    o.add_argument(
+        "--perturb-roughness", type=float, default=0.0,
+        help="offset Disney roughness by this much and recover it "
+        "(self-target mode)",
+    )
     o.add_argument("--optimize-camera", action="store_true")
     o.add_argument("--width", type=int, default=64)
     o.add_argument("--height", type=int, default=64)

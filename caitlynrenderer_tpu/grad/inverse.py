@@ -61,6 +61,26 @@ def apply_params(ds: DeviceScene, camera: Camera, params: Params):
     return ds, camera
 
 
+def project_params(params: Params) -> Params:
+    """Project optimizable parameters back to their physical domains after
+    a gradient step: albedo/emission RGB >= 0 (albedo <= 1), Disney
+    parameters in [0, 1].  Unconstrained steps walk outside the domain
+    (Adam on MC-noise gradients random-walks), where the BSDF produces
+    NaNs (e.g. sqrt of a negative tint) that then poison Adam's moments
+    permanently.  Material column 3 is the type/flag word — never
+    touched."""
+    out = dict(params)
+    if "albedo" in out:
+        a = out["albedo"]
+        out["albedo"] = a.at[:, :3].set(jnp.clip(a[:, :3], 0.0, 1.0))
+    if "disney" in out:
+        out["disney"] = jnp.clip(out["disney"], 0.0, 1.0)
+    if "emission" in out:
+        e = out["emission"]
+        out["emission"] = e.at[:, :3].set(jnp.maximum(e[:, :3], 0.0))
+    return out
+
+
 def make_loss(
     ds: DeviceScene,
     camera: Camera,
@@ -127,6 +147,7 @@ def optimize(
         k = jax.random.fold_in(key, i)
         loss, grads = grad_fn(params, k)
         params, opt_state = adam_update(grads, opt_state, params, lr=lr)
+        params = project_params(params)
         losses.append(float(loss))
         if callback is not None:
             callback(i, losses[-1], params)

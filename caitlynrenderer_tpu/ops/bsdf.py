@@ -180,8 +180,13 @@ def _sample_ggx_h(n, a, u1, u2):
     """Sample a GTR2 (GGX) half-vector around n (NDF sampling)."""
     phi = 2.0 * jnp.pi * u1
     ct2 = (1.0 - u2) / jnp.maximum(1.0 + (a * a - 1.0) * u2, 1e-12)
-    ct = jnp.sqrt(jnp.clip(ct2, 0.0, 1.0))
-    st = jnp.sqrt(jnp.clip(1.0 - ct2, 0.0, 1.0))
+    # sqrt has an infinite derivative at 0; a ct2 of exactly 0 or 1 turns
+    # an UNSELECTED jnp.where branch into 0*inf = NaN in the backward
+    # (observed optimizing Disney roughness: the light material's
+    # degenerate row NaN'd the whole disney gradient).  Clamp strictly
+    # inside (0, 1) — the 1e-12 shift is far below sampling resolution.
+    ct = jnp.sqrt(jnp.clip(ct2, 1e-12, 1.0 - 1e-12))
+    st = jnp.sqrt(jnp.clip(1.0 - ct2, 1e-12, 1.0 - 1e-12))
     local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
     return cm.local_to_world(local, n)
 
@@ -190,8 +195,8 @@ def _sample_gtr1_h(n, a, u1, u2):
     a2 = jnp.clip(a * a, 1e-4, 0.9999)
     phi = 2.0 * jnp.pi * u1
     ct2 = (1.0 - jnp.power(a2, 1.0 - u2)) / jnp.maximum(1.0 - a2, 1e-8)
-    ct = jnp.sqrt(jnp.clip(ct2, 0.0, 1.0))
-    st = jnp.sqrt(jnp.clip(1.0 - ct2, 0.0, 1.0))
+    ct = jnp.sqrt(jnp.clip(ct2, 1e-12, 1.0 - 1e-12))
+    st = jnp.sqrt(jnp.clip(1.0 - ct2, 1e-12, 1.0 - 1e-12))
     local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
     return cm.local_to_world(local, n)
 

@@ -641,7 +641,12 @@ def trace_paths(
             eta = jnp.where(entering, 1.0 / jnp.maximum(ior, 1e-6), ior)
             ci = jnp.abs(cm.dot(d, n_flip))
             sin2_t = eta * eta * jnp.maximum(1.0 - ci * ci, 0.0)
-            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+            # Floor strictly above 0: sqrt'(0) = inf, and at the total-
+            # internal-reflection boundary the `where(sin2_t >= 1, ...)`
+            # masks only the VALUE — the backward still multiplies
+            # 0 * inf = NaN into any upstream gradient (d carries grads
+            # once BSDF parameters are optimized).
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
             r_par = (ci - eta * cos_t) / jnp.maximum(ci + eta * cos_t, 1e-12)
             r_perp = (eta * ci - cos_t) / jnp.maximum(eta * ci + cos_t, 1e-12)
             fres = jnp.where(sin2_t >= 1.0, 1.0, 0.5 * (r_par**2 + r_perp**2))

@@ -79,7 +79,14 @@ def scene_from_config(cfg: Dict[str, Any], base_dir: str = "."):
 
         builtin = s.get("builtin", "cornell")
         if builtin == "cornell":
-            scene, translation = builtin_scenes.cornell_box()
+            from caitlynrenderer_tpu.core.types import MaterialType
+
+            # `floor = "disney"` puts a Disney BSDF on the floor (the
+            # BASELINE config-5 recovery scene).
+            floor = s.get("floor", "diffuse").upper()
+            scene, translation = builtin_scenes.cornell_box(
+                floor_type=int(MaterialType[floor])
+            )
         elif builtin.startswith("grid"):
             res = int(s.get("resolution", 224))
             scene, translation = builtin_scenes.displaced_grid(resolution=res)
