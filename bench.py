@@ -159,6 +159,9 @@ def main():
             "device": str(jax.devices()[0]),
             "steps_timed": frames,
             "spp_per_launch": args.steps,
+            # wavefront occupancy: live lanes entering each bounce's
+            # closest-hit (shows RR / emissive-hit / miss attrition)
+            "alive_per_bounce": [int(x) for x in stats["alive_per_bounce"]],
         },
     }
     print(json.dumps(result))
