@@ -196,6 +196,20 @@ def cmd_render(args) -> int:
         jax.random.PRNGKey(args.seed), w * h, options.max_depth)))
     rays_per_sample = int(_stats["rays_closest"]) + int(_stats["rays_anyhit"])
 
+    if args.debug_checks:
+        # Fail fast on numerics: one checkified sample raises a located
+        # error if any radiance value is NaN/inf (utils/debug.py), BEFORE
+        # hours of accumulation get silently poisoned.
+        from caitlynrenderer_tpu.utils.debug import checked_render_sample
+
+        checked_render_sample(
+            ds, camera,
+            sampling.draw_uniforms(jax.random.PRNGKey(args.seed), w * h,
+                                   options.max_depth),
+            w, h, options,
+        )
+        metrics.log_record("debug_checks", {"finite": True})
+
     timer = metrics.StepTimer()
     last_ckpt = time.time()
     last_logged = 0
@@ -390,6 +404,11 @@ def main(argv=None) -> int:
         default=None,
         choices=["beauty", "albedo", "normal", "depth"],
         help="debug render mode (first-hit AOV instead of the beauty pass)",
+    )
+    r.add_argument(
+        "--debug-checks", action="store_true",
+        help="checkify one sample for NaN/inf radiance before rendering "
+        "(numerical sanitizer; see utils/debug.py)",
     )
     r.add_argument(
         "--turntable",

@@ -135,6 +135,49 @@ def scene_families(scene_np: SceneArrays) -> tuple:
     return tuple(fams) if fams else ("lambert",)
 
 
+def validate_scene(scene_np: SceneArrays) -> None:
+    """Fail-fast structural validation of scene inputs (SURVEY §5 failure
+    detection: the reference prints-and-continues on bad assets,
+    `Scene.h:510-511,746-747`; a malformed scene here raises BEFORE the
+    build so the error names the actual problem instead of surfacing as a
+    garbage render or an out-of-range gather on device)."""
+    v = np.asarray(scene_np.vertices)
+    tv = np.asarray(scene_np.tri_v)
+    if v.ndim != 2 or v.shape[1] != 3:
+        raise ValueError(f"vertices must be (V, 3), got {v.shape}")
+    if not np.isfinite(v).all():
+        bad = np.argwhere(~np.isfinite(v).all(axis=1))[:5].ravel().tolist()
+        raise ValueError(f"non-finite vertex coordinates at rows {bad}")
+    if tv.ndim != 2 or tv.shape[1] != 4:
+        raise ValueError(f"tri_v must be (T, 4), got {tv.shape}")
+    if tv.shape[0]:
+        idx = tv[:, :3]
+        if idx.min() < 0 or idx.max() >= max(len(v), 1):
+            raise ValueError(
+                f"triangle vertex indices out of range [0, {len(v)}): "
+                f"min {idx.min()}, max {idx.max()}"
+            )
+        m = np.asarray(scene_np.materials.albedo).shape[0]
+        if tv[:, 3].min() < 0 or tv[:, 3].max() >= max(m, 1):
+            raise ValueError(
+                f"material indices out of range [0, {m}): "
+                f"min {tv[:, 3].min()}, max {tv[:, 3].max()}"
+            )
+        vn = np.asarray(scene_np.normals)
+        tn = np.asarray(scene_np.tri_vn)
+        if len(vn) and len(tn):
+            used = tn[tn[:, 3] == 1][:, :3]
+            if used.size and (used.min() < 0 or used.max() >= len(vn)):
+                raise ValueError(
+                    f"normal indices out of range [0, {len(vn)})"
+                )
+    li = scene_np.lights
+    if np.asarray(li.p).shape[0]:
+        pdf = np.asarray(li.area_pdf)
+        if not np.isfinite(pdf).all() or (pdf < 0).any():
+            raise ValueError("light area/pdf table contains invalid values")
+
+
 BRUTE_MAX_TRIS = 2048  # below this, the dense Pallas sweep beats any BVH
 
 
@@ -177,6 +220,7 @@ def upload_scene(
     accel/wide.py) or "cwbvh" (reference-format 8-wide compressed)."""
     if accel not in ("brute", "bvh2", "sbvh", "wide", "cwbvh"):
         raise ValueError(f"unknown accel {accel!r} (expected brute/bvh2/sbvh/wide/cwbvh)")
+    validate_scene(scene_np)
     cw_nodes = np.zeros((0, 20), np.uint32)
     cw_tris = np.zeros((0, 9), np.float32)
     cw_nodes4 = np.zeros((0, 128), np.uint32)
