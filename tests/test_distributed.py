@@ -115,3 +115,41 @@ def test_cli_mesh_render_writes_png(setup, tmp_path):
     img = load_png(str(out))
     assert img.shape == (16, 16, 3)
     assert img.max() > 0.05  # not a black frame
+
+
+def test_tiled_sharded_render_bitwise_matches_untiled(setup):
+    """Tile grid sharded across chips (SURVEY §2 parallelism table): a
+    4x4-tile render over the (4, 2) mesh is BITWISE equal to the untiled
+    single-device progressive render — pixels keep global RNG ids, so
+    distribution layout never changes the image."""
+    import jax.numpy as jnp
+
+    from caitlynrenderer_tpu.parallel.render import (
+        gather_image_tiled,
+        init_tiled_state,
+        sharded_render_step_tiled,
+        tile_pixel_order,
+    )
+    from caitlynrenderer_tpu.render import progressive
+
+    ds, camera, options = setup
+    w = h = options.width
+    # sp=1 for the BITWISE claim: the sp psum's cross-device reduction
+    # order is unspecified, so sp>1 agrees only to reassociation ulps
+    # (same caveat as the dryrun's determinism proof).
+    mesh = make_multihost_mesh(sp=1)
+    dp = mesh.shape["dp"]
+    order, n_pad = tile_pixel_order(w, h, 4, 4, dp)
+    accum, order_dev = init_tiled_state(mesh, order)
+    accum = sharded_render_step_tiled(
+        ds, camera, accum, order_dev, jnp.int32(0),
+        jax.random.PRNGKey(7), mesh, w, h, options,
+    )
+    img_tiled = np.asarray(
+        gather_image_tiled(accum, order, jnp.int32(1), 1, w, h, options)
+    )
+
+    st = progressive.init_state(w, h, seed=7)
+    st = progressive.render_step(ds, camera, st, w, h, options)
+    img_ref = np.asarray(progressive.resolve(st, w, h, options))
+    np.testing.assert_array_equal(img_tiled, img_ref)
