@@ -743,9 +743,10 @@ def _sort_order(o, d, t_lim, og, bounds):
     key = (oct_ << 23) | (ogu << 9) | (m & 0x1FF)
     key = jnp.where(t_lim > -INF, key, jnp.uint32(0x7FFFFFFF))
     order = jnp.argsort(key)
-    inv = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=order.dtype)
-    )
+    # Inverse permutation via a second argsort: a 65k scatter costs
+    # 1.5 ms on TPU, argsort 0.03 ms (measured; XLA lowers scatter to a
+    # serial loop but sort to a parallel network).
+    inv = jnp.argsort(order)
     return order, inv, oct_
 
 
